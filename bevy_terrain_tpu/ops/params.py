@@ -1,0 +1,175 @@
+"""Static config and per-frame uniforms for the device kernels.
+
+The reference ships this data in four bind groups (culling @0, terrain @1,
+view @2, indirect @3 — src/shaders/bindings.wgsl:6-57). On TPU the same
+information splits into:
+
+* :class:`StaticTerrainConfig` — hashable, jit-static: shapes, counts, and
+  pipeline flags. Changing any of these recompiles, mirroring the reference's
+  pipeline specialization (terrain_material.rs:174-227, tiling_prepass.rs:31-78).
+* :class:`FrameUniforms` — a pytree of small device arrays recomputed by the
+  host every frame (view position, Taylor approximation, tile-tree origins,
+  tile-tree entries, distances).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(
+    dataclasses.dataclass,
+    frozen=True,
+)
+class StaticTerrainConfig:
+    """jit-static kernel parameters.
+
+    Counts/flags from TerrainConfig + TerrainViewConfig
+    (reference terrain.rs:27-49, terrain_view.rs:19-64) plus the debug/render
+    flags that specialize shaders (terrain_material.rs:73-97).
+    """
+
+    spherical: bool
+    side_count: int
+    lod_count: int
+    tree_size: int
+    grid_size: int
+    refinement_count: int
+    # static shape bounds (see TerrainViewConfig.tile_capacity)
+    queue_capacity: int
+    tile_capacity: int
+    origin_lod: int
+    attachment_count: int = 1
+    # pipeline flags (reference terrain_material.rs:174-227)
+    morph: bool = True
+    blend: bool = True
+    high_precision: bool = False
+    sample_grad: bool = True
+    tile_tree_lod: bool = False  # lookup_best walk instead of blend lod
+
+    @property
+    def vertices_per_row(self) -> int:
+        # reference terrain_view_bind_group.rs:84
+        return 2 * (self.grid_size + 2)
+
+    @property
+    def vertices_per_tile(self) -> int:
+        # reference terrain_view_bind_group.rs:85
+        return self.grid_size * self.vertices_per_row
+
+
+def _field(**kw):
+    return dataclasses.field(**kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TaylorParams:
+    """Device-side TerrainModelApproximation (reference terrain_model.rs:228-259)."""
+
+    origin_xy: jax.Array  # (6, 2) i32
+    origin_uv: jax.Array  # (6, 2) f32
+    c: jax.Array  # (6, 3) f32
+    c_s: jax.Array  # (6, 3) f32
+    c_t: jax.Array  # (6, 3) f32
+    c_ss: jax.Array  # (6, 3) f32
+    c_st: jax.Array  # (6, 3) f32
+    c_tt: jax.Array  # (6, 3) f32
+
+    @staticmethod
+    def from_host(approx) -> "TaylorParams":
+        return TaylorParams(
+            origin_xy=jnp.asarray(approx.origin_xy, jnp.int32),
+            origin_uv=jnp.asarray(approx.origin_uv, jnp.float32),
+            c=jnp.asarray(approx.c, jnp.float32),
+            c_s=jnp.asarray(approx.c_s, jnp.float32),
+            c_t=jnp.asarray(approx.c_t, jnp.float32),
+            c_ss=jnp.asarray(approx.c_ss, jnp.float32),
+            c_st=jnp.asarray(approx.c_st, jnp.float32),
+            c_tt=jnp.asarray(approx.c_tt, jnp.float32),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FrameUniforms:
+    """Per-frame dynamic inputs to the frame step (one view).
+
+    Gathers what the reference's extract/prepare systems write into
+    uniform/storage buffers each frame (gpu_tile_tree.rs:84-95,
+    terrain_view_bind_group.rs:193-236, culling_bind_group.rs:87-101).
+    """
+
+    # view
+    view_world_position: jax.Array  # (3,) f32 — f32 world; fine w/ Taylor path
+    approximate_height: jax.Array  # () f32
+    # model transform (f32 mirrors of the host f64 affine)
+    world_from_local: jax.Array  # (3, 4) f32 affine
+    normal_matrix: jax.Array  # (3, 3) f32 = (M^-1)^T upper 3x3
+    min_height: jax.Array  # () f32
+    max_height: jax.Array  # () f32
+    terrain_scale: jax.Array  # () f32 — model.scale() for normal spacing
+    # distances (world units; TerrainViewConfig * model.scale(),
+    # reference tile_tree.rs:139-153)
+    morph_distance: jax.Array  # () f32
+    blend_distance: jax.Array  # () f32
+    load_distance: jax.Array  # () f32
+    subdivision_distance: jax.Array  # () f32
+    precision_threshold_distance: jax.Array  # () f32
+    morph_range: jax.Array  # () f32
+    blend_range: jax.Array  # () f32
+    # Taylor approximation
+    taylor: TaylorParams
+    # tile tree state (host-maintained, device-consumed)
+    origins: jax.Array  # (sides, lods, 2) i32 — per-lod tree origin
+    entries: jax.Array  # (sides, lods, tree, tree, 2) i32 (atlas_index, atlas_lod)
+    # per-(side, lod) view anchor in tile units: integer part + fraction
+    # (host f64-computed to keep precision at deep lods)
+    view_tile_int: jax.Array  # (sides, lods, 2) i32
+    view_tile_frac: jax.Array  # (sides, lods, 2) f32
+
+
+def make_frame_uniforms(
+    model,
+    view_world_position,
+    approx,
+    origins: np.ndarray,
+    entries: np.ndarray,
+    view_tile_int: np.ndarray,
+    view_tile_frac: np.ndarray,
+    view_config,
+) -> FrameUniforms:
+    """Assemble FrameUniforms from host-side f64 state."""
+    scale = model.scale
+    m = np.asarray(model.world_from_local, np.float64)
+    normal_matrix = np.linalg.inv(m[:3, :3]).T
+    return FrameUniforms(
+        view_world_position=jnp.asarray(view_world_position, jnp.float32),
+        approximate_height=jnp.float32(approx.approximate_height),
+        world_from_local=jnp.asarray(m[:3, :4], jnp.float32),
+        normal_matrix=jnp.asarray(normal_matrix, jnp.float32),
+        min_height=jnp.float32(model.min_height),
+        max_height=jnp.float32(model.max_height),
+        terrain_scale=jnp.float32(scale),
+        morph_distance=jnp.float32(view_config.morph_distance * scale),
+        blend_distance=jnp.float32(view_config.blend_distance * scale),
+        load_distance=jnp.float32(view_config.load_distance * scale),
+        subdivision_distance=jnp.float32(
+            view_config.morph_distance * scale * (1.0 + view_config.subdivision_tolerance)
+        ),
+        precision_threshold_distance=jnp.float32(
+            view_config.precision_threshold_distance * scale
+        ),
+        morph_range=jnp.float32(view_config.morph_range),
+        blend_range=jnp.float32(view_config.blend_range),
+        taylor=TaylorParams.from_host(approx),
+        origins=jnp.asarray(origins, jnp.int32),
+        entries=jnp.asarray(entries, jnp.int32),
+        view_tile_int=jnp.asarray(view_tile_int, jnp.int32),
+        view_tile_frac=jnp.asarray(view_tile_frac, jnp.float32),
+    )

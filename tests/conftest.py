@@ -3,13 +3,21 @@
 Multi-chip hardware is not available in CI; sharding tests use
 ``xla_force_host_platform_device_count`` (the standard JAX recipe for
 validating Mesh/pjit programs without real chips).
+
+Note: this environment pre-imports jax via sitecustomize (the axon TPU
+platform), so ``JAX_PLATFORMS`` env vars are too late — we must switch the
+platform through ``jax.config`` before any backend initializes. TPU perf
+runs happen via bench.py instead.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
