@@ -1,0 +1,108 @@
+"""Driver benchmark: quadtree update + tile mesh generation per frame/view.
+
+North-star metric (BASELINE.json): quadtree update + tile mesh-gen < 1 ms
+per frame per view at an 8k^2 heightmap on one v5e chip. An 8k^2 heightmap
+with 512^2 tiles (508-texel centers) is lod_count 5 (16x16 finest tiles);
+the per-frame device work is the jitted refinement -> CDLOD mesh-gen step
+over the streamed atlas slab.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is the speedup against the 1 ms/frame north-star bound
+(>1 means faster than target; the reference publishes no numbers of its
+own, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from bevy_terrain_tpu.config import TerrainViewConfig
+    from bevy_terrain_tpu.math import TerrainModel, TerrainModelApproximation
+    from bevy_terrain_tpu.ops import meshgen, refinement
+    from bevy_terrain_tpu.ops import tile_tree as tile_tree_ops
+    from bevy_terrain_tpu.ops.params import StaticTerrainConfig, make_frame_uniforms
+
+    # --- 8k^2-heightmap planar terrain, reference default quality ---
+    TEXTURE_SIZE, BORDER = 512, 2
+    LOD_COUNT = 5  # finest lod: 16x16 tiles x 508 texels ~= 8k^2 heightmap
+    SIDE = 8000.0
+    model = TerrainModel.planar(np.zeros(3), SIDE, 0.0, 250.0)
+    vc = TerrainViewConfig(tile_capacity=8192)
+    cfg = StaticTerrainConfig(
+        spherical=False,
+        side_count=1,
+        lod_count=LOD_COUNT,
+        tree_size=vc.tree_size,
+        grid_size=vc.grid_size,
+        refinement_count=vc.refinement_count,
+        queue_capacity=16384,
+        tile_capacity=vc.tile_capacity,
+        origin_lod=vc.origin_lod,
+    )
+
+    view = np.array([SIDE * 0.03, 120.0, -SIDE * 0.02])
+    origins, vt_int, vt_frac = tile_tree_ops.compute_view_anchors(
+        model, view, LOD_COUNT, vc.tree_size
+    )
+    approx = TerrainModelApproximation.compute(model, view, vc.origin_lod, 125.0)
+    # fully-streamed state: every slot points at a loaded atlas tile
+    rng = np.random.default_rng(0)
+    S, L, T = 1, LOD_COUNT, vc.tree_size
+    entries = np.zeros((S, L, T, T, 2), np.int32)
+    entries[..., 0] = rng.integers(0, 1024, (S, L, T, T))
+    entries[..., 1] = np.arange(L)[None, :, None, None]
+    uniforms = make_frame_uniforms(
+        model, view, approx, origins, entries, vt_int, vt_frac, vc
+    )
+    slab = jnp.asarray(
+        rng.integers(0, 65535, (1024, TEXTURE_SIZE, TEXTURE_SIZE, 1)).astype(np.uint16)
+    )
+    scale = (TEXTURE_SIZE - 2 * BORDER) / TEXTURE_SIZE
+    offset = BORDER / TEXTURE_SIZE
+
+    @jax.jit
+    def frame(height_slab, u):
+        tiles = refinement.refine_tiles(u, cfg)
+        mesh = meshgen.generate_mesh(tiles, height_slab, u, cfg, scale, offset)
+        return tiles, mesh
+
+    tiles, mesh = jax.block_until_ready(frame(slab, uniforms))
+    tile_count = int(tiles.tile_count)
+
+    # honest timing: device duration from a profiler trace (the axon TPU
+    # tunnel's block_until_ready can return before execution completes)
+    from bevy_terrain_tpu.utils.timing import benchmark, device_time_ms
+
+    try:
+        median_us = device_time_ms(frame, slab, uniforms, label="bench") * 1e3
+    except Exception:
+        median_us = benchmark(frame, slab, uniforms, n=20)["median_ms"] * 1e3
+
+    print(
+        f"# device={jax.devices()[0].platform} tiles={tile_count} "
+        f"verts/tile={cfg.vertices_per_tile} frame={median_us:.1f}us",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "quadtree_update_plus_meshgen_per_frame_per_view_8k2",
+                "value": round(median_us, 2),
+                "unit": "us",
+                "vs_baseline": round(1000.0 / median_us, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

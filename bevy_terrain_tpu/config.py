@@ -100,6 +100,9 @@ class TerrainConfig:
     atlas_size: int = 1024
     path: str = ""
     attachments: tuple[AttachmentConfig, ...] = ()
+    # Root directory for terrain data; the reference hardcodes bevy's
+    # "assets/" convention (tile_atlas.rs:174, :610).
+    assets_root: str = "assets"
 
     def add_attachment(self, attachment: AttachmentConfig) -> "TerrainConfig":
         return dataclasses.replace(self, attachments=self.attachments + (attachment,))

@@ -1,2 +1,167 @@
-Terrain = None
-TerrainFrameOutput = None
+"""The per-frame terrain pipeline: host orchestration + one jitted step.
+
+This is the TPU-native replacement for the reference's whole render stack —
+the plugin's frame schedule (plugin.rs:46-93), the tiling prepass node
+(render/tiling_prepass.rs:204-271), and the indirect terrain draw
+(terrain_material.rs:365-432) — collapsed into:
+
+1. a small host prologue per view (f64 numpy): request scan, residency
+   update, best-tile entries, Taylor approximation, and
+2. one jitted device step per (terrain, view): refinement -> mesh-gen
+   [-> optional shading], producing dense vertex/tile tensors.
+
+The host prologue for frame N+1 naturally overlaps the device step for
+frame N through jax async dispatch (the reference gets the same overlap
+from its extract/prepare pipelining, SURVEY.md section 2.2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bevy_terrain_tpu.config import TerrainConfig, TerrainViewConfig
+from bevy_terrain_tpu.math.approximation import TerrainModelApproximation
+from bevy_terrain_tpu.ops import meshgen, refinement
+from bevy_terrain_tpu.ops.params import (
+    FrameUniforms,
+    StaticTerrainConfig,
+    make_frame_uniforms,
+)
+from bevy_terrain_tpu.terrain_data.tile_atlas import TileAtlas
+from bevy_terrain_tpu.terrain_data.tile_tree import TileTree
+
+
+@dataclasses.dataclass
+class TerrainFrameOutput:
+    """One view's frame products: the compacted tile list + vertex buffers.
+
+    ``tiles``/``mesh`` live on device; pull with numpy() only when needed.
+    """
+
+    tiles: refinement.RefinementOutput
+    mesh: meshgen.MeshOutput
+
+    @property
+    def tile_count(self) -> int:
+        return int(self.tiles.tile_count)
+
+
+class Terrain:
+    """A terrain with its atlas and per-view tile trees.
+
+    Equivalent of spawning a TerrainBundle + registering TileTrees
+    (reference terrain.rs:58-98, examples/minimal.rs:23-59)::
+
+        terrain = Terrain(config)
+        terrain.add_view("camera", TerrainViewConfig())
+        outputs = terrain.update({"camera": view_position})
+    """
+
+    def __init__(self, config: TerrainConfig, shading_fn: Optional[Callable] = None):
+        self.config = config
+        self.atlas = TileAtlas(config)
+        self.tile_trees: dict[object, TileTree] = {}
+        self.view_configs: dict[object, TerrainViewConfig] = {}
+        self._static_cfgs: dict[object, StaticTerrainConfig] = {}
+        self._step = jax.jit(self._frame_step, static_argnames=("cfg",))
+        self.shading_fn = shading_fn
+        self.frame_index = 0
+
+    # -- setup --
+
+    def add_view(
+        self,
+        view_id,
+        view_config: Optional[TerrainViewConfig] = None,
+        queue_capacity: int = 8192,
+        **static_overrides,
+    ) -> None:
+        view_config = view_config or TerrainViewConfig()
+        self.view_configs[view_id] = view_config
+        self.tile_trees[view_id] = TileTree(self.atlas, view_config)
+        model = self.config.model
+        self._static_cfgs[view_id] = StaticTerrainConfig(
+            spherical=model.is_spherical,
+            side_count=model.side_count,
+            lod_count=self.config.lod_count,
+            tree_size=view_config.tree_size,
+            grid_size=view_config.grid_size,
+            refinement_count=view_config.refinement_count,
+            queue_capacity=queue_capacity,
+            tile_capacity=view_config.tile_capacity,
+            origin_lod=view_config.origin_lod,
+            attachment_count=len(self.config.attachments),
+            **static_overrides,
+        )
+
+    def remove_view(self, view_id) -> None:
+        """Release every tile the view still holds, then drop it."""
+        tree = self.tile_trees.pop(view_id)
+        self.view_configs.pop(view_id)
+        self._static_cfgs.pop(view_id)
+        held = tree._collect(tree.tile_requested, tree.tile_xy)
+        self.atlas.update(released_tiles=held)
+
+    # -- device step --
+
+    @staticmethod
+    def _frame_step(height_slab, uniforms: FrameUniforms, cfg: StaticTerrainConfig,
+                    attachment_scale: float, attachment_offset: float):
+        tiles = refinement.refine_tiles(uniforms, cfg)
+        mesh = meshgen.generate_mesh(
+            tiles, height_slab, uniforms, cfg, attachment_scale, attachment_offset
+        )
+        return tiles, mesh
+
+    # -- per-frame orchestration (reference plugin.rs:46-56 Last schedule) --
+
+    def update(self, view_positions: dict) -> dict[object, TerrainFrameOutput]:
+        # 1. request scans (TileTree::compute_requests, plugin.rs:47)
+        released, requested = [], []
+        for view_id, pos in view_positions.items():
+            tree = self.tile_trees[view_id]
+            tree.compute_requests(pos)
+            released.extend(tree.released_tiles)
+            requested.extend(tree.requested_tiles)
+
+        # 2. atlas residency + IO (TileAtlas::update, plugin.rs:49)
+        self.atlas.update(released, requested)
+        self.atlas.flush_uploads()
+
+        # 3.-5. per view: adjust entries, height probe, approximation,
+        # device step (plugin.rs:50-55 + render schedule)
+        outputs = {}
+        for view_id, pos in view_positions.items():
+            tree = self.tile_trees[view_id]
+            tree.adjust_to_tile_atlas(self.atlas)
+            tree.update_approximate_height(self.atlas)
+            approx = TerrainModelApproximation.compute(
+                self.config.model, pos, tree.origin_lod, tree.approximate_height
+            )
+            uniforms = make_frame_uniforms(
+                self.config.model,
+                pos,
+                approx,
+                tree.origins,
+                tree.entries,
+                tree.view_tile_int,
+                tree.view_tile_frac,
+                self.view_configs[view_id],
+            )
+            height = self.atlas.attachments[0]
+            tiles, mesh = self._step(
+                height.slabs[0],
+                uniforms,
+                cfg=self._static_cfgs[view_id],
+                attachment_scale=height.config.scale,
+                attachment_offset=height.config.offset,
+            )
+            outputs[view_id] = TerrainFrameOutput(tiles=tiles, mesh=mesh)
+        self.frame_index += 1
+        return outputs

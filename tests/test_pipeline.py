@@ -1,0 +1,111 @@
+"""End-to-end frame pipeline: Terrain + streaming + device step.
+
+The round-1 "minimum end-to-end slice" (SURVEY.md section 7 step 4): planar
+terrain, one R16 height attachment, synthetic tiles, per-frame jitted
+refinement + mesh-gen validated against the analytic height field.
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+from bevy_terrain_tpu import (
+    AttachmentConfig,
+    AttachmentFormat,
+    Terrain,
+    TerrainConfig,
+    TerrainModel,
+    TerrainViewConfig,
+)
+from bevy_terrain_tpu.utils.synthetic import default_height_fn, generate_planar_dataset
+
+SIZE = 1000.0
+MAX_HEIGHT = 100.0
+
+
+@pytest.fixture(scope="module")
+def terrain(tmp_path_factory):
+    root = tmp_path_factory.mktemp("assets")
+    attachment = AttachmentConfig(
+        name="height", texture_size=64, border_size=2, mip_level_count=3,
+        format=AttachmentFormat.R16,
+    )
+    generate_planar_dataset("terrains/pipe", 4, attachment, root=str(root))
+    config = TerrainConfig(
+        lod_count=4,
+        model=TerrainModel.planar(np.zeros(3), SIZE, 0.0, MAX_HEIGHT),
+        atlas_size=128,
+        path="terrains/pipe",
+        attachments=(attachment,),
+        assets_root=str(root),
+    )
+    t = Terrain(config)
+    t.add_view("camera", TerrainViewConfig(tile_capacity=2048), queue_capacity=4096)
+    return t
+
+
+def _settle(terrain, view, frames=40):
+    """Run frames until streaming settles (all requested tiles loaded)."""
+    out = None
+    for _ in range(frames):
+        out = terrain.update({"camera": view})
+        if (
+            not terrain.atlas.state.to_load
+            and not any(a.loading for a in terrain.atlas.attachments)
+        ):
+            break
+        time.sleep(0.01)
+    out = terrain.update({"camera": view})
+    return out["camera"]
+
+
+class TestTerrainPipeline:
+    def test_streaming_settles_and_mesh_matches_analytic(self, terrain):
+        view = np.array([50.0, 80.0, -120.0])
+        out = _settle(terrain, view)
+        assert out.tile_count > 0
+
+        pos = np.asarray(out.mesh.positions)
+        mask = np.asarray(out.mesh.tile_mask)
+        pos = pos[mask]
+        # all vertices on the terrain, heights within range
+        assert pos[..., 1].min() >= -1e-3
+        assert pos[..., 1].max() <= MAX_HEIGHT + 1e-3
+        # compare sampled heights to the analytic field (finest data lod is
+        # 8x8 tiles of 60 texels => ~2m feature resolution; allow coarse tol)
+        u = pos[..., 0] / SIZE + 0.5
+        v = pos[..., 2] / SIZE + 0.5
+        expect = default_height_fn(u, v) * MAX_HEIGHT
+        err = np.abs(pos[..., 1] - expect)
+        assert np.median(err) < 3.0, float(np.median(err))
+        assert err.mean() < 5.0, float(err.mean())
+
+    def test_flythrough_no_leaks(self, terrain):
+        # sweep the camera; residency must stay consistent and bounded
+        for i in range(10):
+            x = -400 + 80 * i
+            terrain.update({"camera": np.array([x, 60.0, 0.3 * x])})
+        state = terrain.atlas.state
+        for s in state.tile_states.values():
+            assert 0 <= s.requests <= 1
+        total_resident = len(state.tile_states)
+        assert total_resident <= terrain.atlas.atlas_size
+
+    def test_multi_view_shared_atlas(self, terrain):
+        terrain.add_view("shadow", TerrainViewConfig(tile_capacity=2048), queue_capacity=4096)
+        views = {
+            "camera": np.array([50.0, 80.0, -120.0]),
+            "shadow": np.array([-200.0, 150.0, 200.0]),
+        }
+        outs = terrain.update(views)
+        assert set(outs) == {"camera", "shadow"}
+        # a tile requested by both views has refcount 2
+        max_req = max(
+            (s.requests for s in terrain.atlas.state.tile_states.values()), default=0
+        )
+        assert max_req >= 1
+        # cleanup via the real API: releases the view's tiles
+        terrain.remove_view("shadow")
+        for st in terrain.atlas.state.tile_states.values():
+            assert st.requests <= 1
