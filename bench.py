@@ -22,12 +22,14 @@ import numpy as np
 
 
 def main() -> None:
+    from functools import partial
+
     import jax
     import jax.numpy as jnp
 
     from bevy_terrain_tpu.config import TerrainViewConfig
     from bevy_terrain_tpu.math import TerrainModel, TerrainModelApproximation
-    from bevy_terrain_tpu.ops import meshgen, refinement
+    from bevy_terrain_tpu.ops import meshgen, patch_sampling, refinement
     from bevy_terrain_tpu.ops import tile_tree as tile_tree_ops
     from bevy_terrain_tpu.ops.params import StaticTerrainConfig, make_frame_uniforms
 
@@ -37,6 +39,7 @@ def main() -> None:
     SIDE = 8000.0
     model = TerrainModel.planar(np.zeros(3), SIDE, 0.0, 250.0)
     vc = TerrainViewConfig(tile_capacity=8192)
+    on_tpu = jax.default_backend() == "tpu"
     cfg = StaticTerrainConfig(
         spherical=False,
         side_count=1,
@@ -47,6 +50,7 @@ def main() -> None:
         queue_capacity=16384,
         tile_capacity=vc.tile_capacity,
         origin_lod=vc.origin_lod,
+        pallas_sampling=on_tpu,
     )
 
     view = np.array([SIDE * 0.03, 120.0, -SIDE * 0.02])
@@ -63,17 +67,29 @@ def main() -> None:
     uniforms = make_frame_uniforms(
         model, view, approx, origins, entries, vt_int, vt_frac, vc
     )
-    slab = jnp.asarray(
-        rng.integers(0, 65535, (1024, TEXTURE_SIZE, TEXTURE_SIZE, 1)).astype(np.uint16)
+    plan = patch_sampling.make_patch_plan(TEXTURE_SIZE, 4, BORDER)
+    blocks = jnp.asarray(
+        rng.integers(
+            0, 65535, (1024 * plan.total_blocks_per_slot, 32, 32)
+        ).astype(np.int32)
     )
-    scale = (TEXTURE_SIZE - 2 * BORDER) / TEXTURE_SIZE
-    offset = BORDER / TEXTURE_SIZE
+    in_shardings = None
+    if on_tpu:
+        from bevy_terrain_tpu.ops.pallas_kernels import block_format
 
-    @jax.jit
-    def frame(height_slab, u):
+        fmt = block_format()
+        blocks = jax.device_put(blocks, fmt)
+        in_shardings = (fmt, None)
+
+    def _frame(block_array, u):
         tiles = refinement.refine_tiles(u, cfg)
-        mesh = meshgen.generate_mesh(tiles, height_slab, u, cfg, scale, offset)
+        mesh = meshgen.generate_mesh_grid(tiles, block_array, u, cfg, plan, 65535.0)
         return tiles, mesh
+
+    frame = (
+        jax.jit(_frame, in_shardings=in_shardings) if in_shardings else jax.jit(_frame)
+    )
+    slab = blocks
 
     tiles, mesh = jax.block_until_ready(frame(slab, uniforms))
     tile_count = int(tiles.tile_count)

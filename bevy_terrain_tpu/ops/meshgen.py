@@ -23,6 +23,23 @@ from bevy_terrain_tpu.ops.params import FrameUniforms, StaticTerrainConfig
 from bevy_terrain_tpu.ops.refinement import RefinementOutput
 
 
+class GridMeshOutput(NamedTuple):
+    """Fast-path frame mesh: one (G+1)x(G+1) vertex grid per tile.
+
+    TPU-native layout — the reference's degenerate-strip vertex pulling
+    (functions.wgsl:64-71) exists to avoid index buffers on GPUs; a grid +
+    shared index buffer is strictly better for a consumer of these tensors.
+    Use :func:`grid_to_strip_order` for buffer-level comparison against the
+    reference layout.
+    """
+
+    positions: jax.Array  # (F, G+1, G+1, 3) f32 world positions
+    normals: jax.Array  # (F, G+1, G+1, 3) f32 geometric normals
+    uvs: jax.Array  # (F, G+1, G+1, 2) f32 morphed tile-space uv
+    heights: jax.Array  # (F, G+1, G+1) f32
+    tile_mask: jax.Array  # (F,) bool
+
+
 class MeshOutput(NamedTuple):
     positions: jax.Array  # (F, V, 3) f32 world positions
     normals: jax.Array  # (F, V, 3) f32 world normals (geometric, pre-height)
@@ -35,6 +52,141 @@ def vertex_grid_uv(cfg: StaticTerrainConfig):
     """Static per-vertex grid uv table (functions.wgsl:64-71)."""
     vid = jnp.arange(cfg.vertices_per_tile, dtype=jnp.int32)
     return coords.compute_tile_uv(vid, cfg)  # (V, 2)
+
+
+def grid_to_strip_order(grid_values, cfg: StaticTerrainConfig):
+    """Expand (F, G+1, G+1, ...) grid tensors to the reference's
+    degenerate-strip vertex order (host-side comparison utility)."""
+    import numpy as np
+
+    uv = np.asarray(vertex_grid_uv(cfg))
+    ix = np.round(uv[:, 0] * cfg.grid_size).astype(int)
+    iy = np.round(uv[:, 1] * cfg.grid_size).astype(int)
+    vals = np.asarray(grid_values)
+    return vals[:, iy, ix]
+
+
+def generate_mesh_grid(
+    tiles: RefinementOutput,
+    block_array,
+    uniforms: FrameUniforms,
+    cfg: StaticTerrainConfig,
+    plan,
+    max_value: float,
+) -> GridMeshOutput:
+    """Fast-path mesh generation on the (G+1)^2 grid layout.
+
+    Same math as :func:`generate_mesh` (vertex.wgsl:30-98) but with heights
+    from the gather-free patch pipeline (see ops/patch_sampling.py) and one
+    lane per unique grid vertex.
+    """
+    from bevy_terrain_tpu.ops import patch_sampling as ps
+
+    F = cfg.tile_capacity
+    G = cfg.grid_size
+
+    t_side = tiles.tile_side[:F]
+    t_lod = jnp.maximum(tiles.tile_lod[:F], 0)
+    t_xy = tiles.tile_xy[:F]
+
+    # --- per-tile blend target + atlas entries (2 tiny takes) ---
+    t0, flat0, flat1 = ps.per_tile_lookup(t_side, t_lod, t_xy, uniforms, cfg)
+    entries_flat = uniforms.entries.reshape(-1, 2)
+    e0 = jnp.take(entries_flat, flat0, axis=0)  # (F, 2): atlas_index, atlas_lod
+    a_idx = e0[:, 0]
+    a_lod = jnp.where(e0[:, 1] < 0, t_lod, e0[:, 1])
+
+    # --- window of the tile within its atlas tile ---
+    _, _, window_uv = coords.coordinate_change_lod(
+        t_lod, t_xy, jnp.zeros((F, 2), jnp.float32), a_lod
+    )
+
+    # --- patch fetch + half-grid heights ---
+    ids, p0, dp = ps.patch_geometry(a_idx, t_lod, a_lod, window_uv, plan, cfg)
+    valid = (a_idx >= 0).astype(jnp.float32)
+    if cfg.pallas_sampling and cfg.grid_size == 16:
+        from bevy_terrain_tpu.ops import pallas_kernels
+
+        geom = jnp.stack([p0[:, 0], p0[:, 1], dp, valid], axis=-1)
+        half = pallas_kernels.fetch_resample(block_array, ids, geom) / max_value
+    else:
+        patch = ps.fetch_patches_xla(block_array, ids)
+        half = ps.halfgrid_resample(patch, p0, dp, cfg) / max_value
+        half = half * valid[:, None, None]
+    half_coarse = ps.smooth_halfgrid(half)
+
+    # --- per-vertex geometry on the grid layout (vertex.wgsl:30-71) ---
+    # computed on a FLAT (F, (G+1)^2) layout: a minor dim of G+1=17 pads to
+    # the 128-lane register width (7.5x wasted VPU lanes); flattened it pads
+    # 289 -> 384 (1.3x)
+    NV = (G + 1) * (G + 1)
+    g = jnp.arange(G + 1, dtype=jnp.float32) / G
+    guv = jnp.stack(jnp.meshgrid(g, g, indexing="xy"), axis=-1)  # (G+1, G+1, 2)
+    tile_uv = jnp.broadcast_to(guv.reshape(1, NV, 2), (F, NV, 2))
+    side = jnp.broadcast_to(t_side[:, None], (F, NV))
+    lod_b = jnp.broadcast_to(t_lod[:, None], (F, NV))
+    xy = jnp.broadcast_to(t_xy[:, None, :], (F, NV, 2))
+
+    local = coords.compute_local_position(side, lod_b, xy, tile_uv, cfg.spherical)
+    world = coords.position_local_to_world(local, uniforms.world_from_local)
+    normal = coords.normal_local_to_world(local, uniforms.normal_matrix, cfg.spherical)
+    view_distance = jnp.linalg.norm(
+        world + uniforms.approximate_height * normal - uniforms.view_world_position,
+        axis=-1,
+    )
+    if cfg.high_precision:
+        relative = coords.compute_relative_position(
+            side, lod_b, xy, tile_uv, uniforms.taylor, cfg.origin_lod
+        )
+        hp_distance = jnp.linalg.norm(
+            relative + uniforms.approximate_height * normal, axis=-1
+        )
+        high_precision = view_distance < uniforms.precision_threshold_distance
+        view_distance = jnp.where(high_precision, hp_distance, view_distance)
+
+    morphed_uv = coords.compute_morph(lod_b, tile_uv, view_distance, uniforms, cfg)
+
+    morph_local = coords.compute_local_position(side, lod_b, xy, morphed_uv, cfg.spherical)
+    morph_world = coords.position_local_to_world(morph_local, uniforms.world_from_local)
+    morph_normal = coords.normal_local_to_world(
+        morph_local, uniforms.normal_matrix, cfg.spherical
+    )
+    if cfg.high_precision:
+        hp_relative = coords.compute_relative_position(
+            side, lod_b, xy, morphed_uv, uniforms.taylor, cfg.origin_lod
+        )
+        hp_world = uniforms.view_world_position + hp_relative
+        morph_world = jnp.where(high_precision[..., None], hp_world, morph_world)
+        morph_normal = jnp.where(high_precision[..., None], normal, morph_normal)
+
+    # --- heights: interpolate the half-grid at the morphed uv, blend the
+    # smoothed (coarser-lod) sample by the per-vertex ratio ---
+    morphed_grid = morphed_uv.reshape(F, G + 1, G + 1, 2)
+    h_fine = ps.vertex_values_from_halfgrid(half, morphed_grid, cfg).reshape(F, NV)
+    blend_lod, blend_ratio = coords.compute_blend(view_distance, uniforms, cfg)
+    if cfg.blend:
+        h_coarse = ps.vertex_values_from_halfgrid(half_coarse, morphed_grid, cfg)
+        h_norm = h_fine + (h_coarse.reshape(F, NV) - h_fine) * blend_ratio
+    else:
+        h_norm = h_fine
+    height = uniforms.min_height + (uniforms.max_height - uniforms.min_height) * h_norm
+
+    positions = morph_world + height[..., None] * morph_normal
+
+    tile_mask = jnp.arange(F, dtype=jnp.int32) < tiles.tile_count
+    mask = tile_mask[:, None]
+
+    def grid(x, ch=None):
+        shape = (F, G + 1, G + 1) + ((ch,) if ch else ())
+        return x.reshape(shape)
+
+    return GridMeshOutput(
+        positions=grid(jnp.where(mask[..., None], positions, 0.0), 3),
+        normals=grid(jnp.where(mask[..., None], morph_normal, 0.0), 3),
+        uvs=grid(jnp.where(mask[..., None], morphed_uv, 0.0), 2),
+        heights=grid(jnp.where(mask, height, 0.0)),
+        tile_mask=tile_mask,
+    )
 
 
 def generate_mesh(
@@ -52,9 +204,10 @@ def generate_mesh(
     F = cfg.tile_capacity
     V = cfg.vertices_per_tile
 
-    side = tiles.tile_side[:, None]  # (F, 1)
-    lod = tiles.tile_lod[:, None]
-    xy = tiles.tile_xy[:, None, :]  # (F, 1, 2)
+    # refinement buffers carry Q lanes of append slack beyond tile_capacity
+    side = tiles.tile_side[:F, None]  # (F, 1)
+    lod = tiles.tile_lod[:F, None]
+    xy = tiles.tile_xy[:F, None, :]  # (F, 1, 2)
     side = jnp.broadcast_to(side, (F, V))
     lod_b = jnp.broadcast_to(jnp.maximum(lod, 0), (F, V))
     xy = jnp.broadcast_to(xy, (F, V, 2))

@@ -51,6 +51,9 @@ class StaticTerrainConfig:
     high_precision: bool = False
     sample_grad: bool = True
     tile_tree_lod: bool = False  # lookup_best walk instead of blend lod
+    # use the hand-written Pallas fetch+resample kernel for height patches
+    # (TPU only; requires grid_size 16; see ops/pallas_kernels.py)
+    pallas_sampling: bool = False
 
     @property
     def vertices_per_row(self) -> int:

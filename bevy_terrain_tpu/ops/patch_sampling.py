@@ -1,0 +1,293 @@
+"""Gather-free terrain height sampling: per-tile patches + MXU resampling.
+
+TPU v5e has no per-lane gather: XLA lowers per-vertex texture fetches to a
+serial loop (~12.5 ns/element — 8 taps x 4.7M vertices = ~0.5 s/frame).
+This module replaces the reference's per-vertex ``textureSampleLevel``
+(vertex.wgsl:85-98 + attachments.wgsl:12-24) with a TPU-native pipeline
+that only ever fetches at *tile* granularity:
+
+1. **Per-tile atlas lookup** — one entry fetch per (tile, blend target)
+   instead of per vertex. Valid because blend data lods are coarser than
+   geometry lods (blend_distance 2 << morph_distance 16, terrain_view.rs),
+   so a whole tile maps into one tile-tree cell at the blend lod.
+2. **Blocked patch fetch** — attachment mips >= 1 are stored as a single
+   unified array of (32, 32) blocks; each tile fetches the 2x2 block
+   neighborhood covering its uv window at the mip whose texel density
+   matches the vertex half-grid (~= GPU vertex texture fetch with explicit
+   LOD). Four ``take``s of 2 KB blocks per tile — the only dynamic fetch.
+3. **Tent-weight resample (MXU)** — the 33x33 half-grid heights of the
+   tile are two small batched matmuls with tent (hat) weight matrices:
+   exact bilinear interpolation of the patch evaluated at the half-grid.
+4. **Static-window vertex interpolation (VPU)** — a morphed vertex uv lies
+   inside a statically-known 3x3 half-grid window (morph blends toward the
+   even grid, functions.wgsl:35-49), so per-vertex heights are an
+   elementwise 9-tap weighted sum over strided slices. No gather.
+
+The blend between two data lods samples the coarse lod from the same patch
+via a 1-2-1 smoothing of the half-grid (equivalent to the next mip's
+bilinear up to the mipmap box filter), saving the second fetch round; and
+the morphed vertex positions interpolate the half-grid rather than raw
+texels (band-limited to 2x the vertex density — detail beyond that cannot
+be represented by the mesh anyway). The per-vertex-gather path
+(sampling.py) remains available for bit-level parity testing.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bevy_terrain_tpu.ops import coords
+from bevy_terrain_tpu.ops.params import FrameUniforms, StaticTerrainConfig
+
+BLOCK = 32
+
+
+class PatchPlan(NamedTuple):
+    """Static description of an attachment's unified block array."""
+
+    texture_size: int
+    mip_count: int
+    min_mip: int  # fast path never uses mip 0 (block assembly limit)
+    max_mip: int  # deepest mip with size >= 64 (2x2 blocks exist)
+    bases: tuple  # per-mip flat block base offset (0 for mips < min_mip)
+    total_blocks_per_slot: int
+    border_size: int
+
+    @property
+    def usable(self) -> bool:
+        return self.max_mip >= self.min_mip
+
+
+def make_patch_plan(texture_size: int, mip_count: int, border_size: int) -> PatchPlan:
+    """Layout of the unified blocked mip array for one attachment.
+
+    Mips ``min_mip..max_mip`` (sizes texture/2 .. 64) are stored as
+    consecutive runs of (32, 32) blocks: slot a's mip m occupies flat block
+    indices ``base[m] + a * g_m^2 + by * g_m + bx`` where
+    ``g_m = size_m / 32``.
+    """
+    min_mip = 1
+    max_mip = min(mip_count - 1, int(math.log2(max(texture_size, 1))) - 6)
+    bases = []
+    per_slot = []
+    offset = 0
+    for m in range(mip_count):
+        if min_mip <= m <= max_mip:
+            g = (texture_size >> m) // BLOCK
+            bases.append(offset)
+            per_slot.append(g * g)
+            offset += g * g
+        else:
+            bases.append(-1)
+            per_slot.append(0)
+    return PatchPlan(
+        texture_size=texture_size,
+        mip_count=mip_count,
+        min_mip=min_mip,
+        max_mip=max_mip,
+        bases=tuple(bases),
+        total_blocks_per_slot=sum(per_slot),
+        border_size=border_size,
+    )
+
+
+def blocks_from_tile(mips: list[np.ndarray], plan: PatchPlan) -> np.ndarray:
+    """Host: cut one tile's mip chain into the unified block run for a slot.
+
+    Returns (total_blocks_per_slot, 32, 32) in the attachment dtype,
+    ordered mip-major to match :func:`make_patch_plan` offsets.
+    """
+    out = []
+    for m in range(plan.min_mip, plan.max_mip + 1):
+        data = mips[m][..., 0]  # height channel
+        g = data.shape[0] // BLOCK
+        blocks = (
+            data.reshape(g, BLOCK, g, BLOCK).transpose(0, 2, 1, 3).reshape(-1, BLOCK, BLOCK)
+        )
+        out.append(blocks)
+    return np.concatenate(out, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Device pipeline
+# ---------------------------------------------------------------------------
+
+
+def per_tile_lookup(tiles_side, tiles_lod, tiles_xy, uniforms, cfg: StaticTerrainConfig):
+    """Per-tile blend target + atlas entry for targets {t0, t0-1}.
+
+    Mirrors the per-vertex lookup_tile chain (functions.wgsl:232-246) at
+    tile granularity. Returns dict with per-target (atlas_index, atlas_lod)
+    plus the tile-center blend lod t0.
+    """
+    center_uv = jnp.full(tiles_xy.shape, 0.5, jnp.float32)
+    dist = coords.approximate_view_distance(
+        tiles_side, tiles_lod, tiles_xy, center_uv, uniforms, cfg
+    )
+    blend_lod, _ = coords.compute_blend(dist, uniforms, cfg)
+    t0 = jnp.minimum(blend_lod, tiles_lod)
+
+    def entry_at(target):
+        target_c = jnp.clip(target, 0, cfg.lod_count - 1)
+        t_lod, t_xy, _ = coords.coordinate_change_lod(
+            tiles_lod, tiles_xy, jnp.zeros(tiles_xy.shape, jnp.float32), target_c
+        )
+        tree_xy = t_xy % jnp.int32(cfg.tree_size)
+        flat = (
+            (tiles_side * cfg.lod_count + t_lod) * cfg.tree_size + tree_xy[..., 0]
+        ) * cfg.tree_size + tree_xy[..., 1]
+        return flat
+
+    return t0, entry_at(t0), entry_at(jnp.maximum(t0 - 1, 0))
+
+
+def patch_geometry(
+    atlas_index,  # (F,) i32 (-1 invalid)
+    tile_lod,  # (F,) i32
+    atlas_lod,  # (F,) i32
+    window_uv,  # (F, 2) f32 — window origin within the atlas tile
+    plan: PatchPlan,
+    cfg: StaticTerrainConfig,
+):
+    """Block ids + sample geometry of each tile's patch window.
+
+    Returns (ids (F, 4) i32 flat block indices tl/tr/bl/br,
+    p0 (F, 2) f32 patch-local start, dp (F,) f32 texel step) so that the
+    half-grid texel positions within the patch are ``p0 + k * dp``.
+    """
+    T = plan.texture_size
+    log2T = int(math.log2(T))
+    d = jnp.clip(tile_lod - atlas_lod, 0, 30)
+    m = jnp.clip(log2T - 5 - d, plan.min_mip, plan.max_mip)
+
+    size_m = jnp.int32(T) >> m
+    g_m = size_m // BLOCK
+    bases = jnp.asarray(np.asarray(plan.bases, np.int32))[m]
+
+    # texture uv of half-grid point k: (window + k/HG * 2^-d) * scale + inset
+    # (border-inset transform, attachments.wgsl:7-10)
+    scale = (T - 2 * plan.border_size) / T
+    inset = plan.border_size / T
+    inv_win = jnp.exp2(-d.astype(jnp.float32))
+    HG = 2 * cfg.grid_size
+    # texel centers at mip m: p = uv * size_m - 0.5
+    size_f = size_m.astype(jnp.float32)
+    start = (window_uv * scale + inset) * size_f[..., None] - 0.5  # (F, 2)
+    dp = (inv_win / HG) * scale * size_f  # (F,) texel step per half-grid index
+
+    bx = jnp.clip((start[..., 0] / BLOCK).astype(jnp.int32), 0, jnp.maximum(g_m - 2, 0))
+    by = jnp.clip((start[..., 1] / BLOCK).astype(jnp.int32), 0, jnp.maximum(g_m - 2, 0))
+
+    # slot-major layout: all blocks of a slot are contiguous (matches the
+    # upload path, blocks_from_tile), mips at per-slot offsets plan.bases
+    a = jnp.maximum(atlas_index, 0)
+    slot_base = a * plan.total_blocks_per_slot + bases
+    gm1 = g_m - 1
+
+    def bid(dy, dx):
+        return slot_base + jnp.minimum(by + dy, gm1) * g_m + jnp.minimum(bx + dx, gm1)
+
+    ids = jnp.stack([bid(0, 0), bid(0, 1), bid(1, 0), bid(1, 1)], axis=-1)
+    p0 = start - jnp.stack([bx, by], axis=-1).astype(jnp.float32) * BLOCK
+    return ids, p0, dp
+
+
+def fetch_patches_xla(block_array, ids):
+    """XLA fallback patch assembly: four takes + concat (F, 64, 64)."""
+
+    def quad(q):
+        return jnp.take(block_array, ids[:, q], axis=0).astype(jnp.float32)
+
+    top = jnp.concatenate([quad(0), quad(1)], axis=-1)  # (F, 32, 64)
+    bot = jnp.concatenate([quad(2), quad(3)], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def halfgrid_resample(patch, p0, dp, cfg: StaticTerrainConfig):
+    """Exact bilinear of the patch at the (HG+1)^2 half-grid points, as two
+    batched tent-weight matmuls (MXU). Returns (F, HG+1, HG+1) f32 (raw
+    texel values; caller normalizes)."""
+    HG = 2 * cfg.grid_size
+    k = jnp.arange(HG + 1, dtype=jnp.float32)  # (K,)
+    r = jnp.arange(64, dtype=jnp.float32)  # (P,)
+
+    def tent_weights(start_1d):
+        # (F, K, P): hat function -> exact bilinear with clamp-to-edge
+        p = start_1d[:, None] + k[None, :] * dp[:, None]  # (F, K)
+        p = jnp.clip(p, 0.0, 63.0)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(p[..., None] - r))  # (F, K, P)
+
+    wx = tent_weights(p0[:, 0])
+    wy = tent_weights(p0[:, 1])
+    # rows: (F, K, P) @ (F, P, P) -> (F, K, P); cols -> (F, K, K)
+    rows = jnp.einsum("fkp,fpq->fkq", wy, patch, preferred_element_type=jnp.float32)
+    return jnp.einsum("fkq,flq->fkl", rows, wx, preferred_element_type=jnp.float32)
+
+
+def smooth_halfgrid(half):
+    """1-2-1 separable smoothing ~= the next-coarser mip's bilinear
+    (mip box filter + interpolation), used for the blend's coarse sample."""
+
+    def smooth_axis(x, axis):
+        lo = jnp.concatenate(
+            [jax.lax.slice_in_dim(x, 0, 1, axis=axis), jax.lax.slice_in_dim(x, 0, -1, axis=axis)],
+            axis=axis,
+        )
+        hi = jnp.concatenate(
+            [jax.lax.slice_in_dim(x, 1, None, axis=axis), jax.lax.slice_in_dim(x, -1, None, axis=axis)],
+            axis=axis,
+        )
+        return 0.25 * lo + 0.5 * x + 0.25 * hi
+
+    return smooth_axis(smooth_axis(half, 1), 2)
+
+
+def _window9(half, G: int):
+    """(F, HG+1, HG+1) -> (F, G+1, G+1, 3, 3) static 3x3 windows at the
+    even half-grid positions 2i with offsets {-2, -1, 0} clamped at 0.
+
+    Pure static strided slices — the per-vertex interpolation window
+    (morphed uv lies in [even_uv, uv], i.e. half-grid span [2i-2, 2i])."""
+    def sel(x, axis, o):
+        # static index set {0} + {o + 2(i-1) : i=1..G} along `axis`
+        first = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
+        body = jax.lax.slice_in_dim(x, o, o + 2 * G - 1, stride=2, axis=axis)
+        return jnp.concatenate([first, body], axis=axis)
+
+    outs = []
+    for b in range(3):
+        rows = []
+        for a in range(3):
+            rows.append(sel(sel(half, 2, a), 1, b))  # (F, G+1, G+1)
+        outs.append(jnp.stack(rows, axis=-1))
+    return jnp.stack(outs, axis=-2)  # (F, G+1, G+1, 3(b=y), 3(a=x))
+
+
+def vertex_values_from_halfgrid(half, morphed_uv, cfg: StaticTerrainConfig):
+    """Interpolate half-grid values at morphed vertex uvs — elementwise.
+
+    ``morphed_uv``: (F, G+1, G+1, 2) with u in [even_u, u] per vertex.
+    Returns (F, G+1, G+1) f32.
+    """
+    G = cfg.grid_size
+    HG = 2 * G
+    win = _window9(half, G)  # (F, G+1, G+1, 3, 3)
+
+    i = np.arange(G + 1)
+    xbase = np.maximum(2 * i - 2, 0).astype(np.float32)  # (G+1,)
+    lx = morphed_uv[..., 0] * HG - xbase[None, None, :]
+    ly = morphed_uv[..., 1] * HG - xbase[None, :, None]
+
+    def tent3(l):
+        # weights over offsets {0,1,2}: (..., 3)
+        o = np.arange(3, dtype=np.float32)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(l[..., None] - o))
+
+    wx = tent3(lx)  # (F, G+1, G+1, 3)
+    wy = tent3(ly)
+    return jnp.sum(win * wy[..., :, None] * wx[..., None, :], axis=(-2, -1))

@@ -7,13 +7,14 @@ of src/render/tiling_prepass.rs:204-271). All tiles in the queue at pass k
 have lod == k (roots seed at lod 0, each pass emits lod k+1 children), so
 the algorithm is level-synchronous by construction.
 
-TPU version: dense per-level tile tensors with masked lanes; prefix-sum
-compaction replaces the atomic counters (removing the race surface
-entirely, see SURVEY.md section 5); a bounded `lax.while_loop` replaces the
-indirect dispatch chain. Static shapes: the queue holds `queue_capacity`
-lanes, the final list `tile_capacity` (the reference's own hard cap is
-geometry_tile_count, terrain_view.rs:23-25); overflow is masked, never
-reallocated.
+TPU version: dense per-level lanes compacted by a **stable sort partition**
+(emitted tiles first, then subdividing parents, then dead lanes) — TPU has
+no efficient scatter (XLA lowers it to a serial per-lane loop, measured
+~500us per level at 16k lanes), but ``lax.sort`` is a vectorized sorting
+network (~18us at 16k lanes). Finished tiles append to the final list with
+a contiguous ``dynamic_update_slice`` whose garbage tail is overwritten by
+the next level's append; children come from a contiguous ``dynamic_slice``
+of the partition. No atomics, no scatters, no gathers.
 """
 
 from __future__ import annotations
@@ -29,11 +30,15 @@ from bevy_terrain_tpu.ops.params import FrameUniforms, StaticTerrainConfig
 
 class RefinementOutput(NamedTuple):
     """Compacted final tile list (the reference's ``final_tiles`` buffer +
-    indirect vertex count, prepare_prepass.wgsl:38-44)."""
+    indirect vertex count, prepare_prepass.wgsl:38-44).
 
-    tile_side: jax.Array  # (tile_capacity,) i32
-    tile_lod: jax.Array  # (tile_capacity,) i32
-    tile_xy: jax.Array  # (tile_capacity, 2) i32
+    Buffers hold ``tile_capacity + queue_capacity`` lanes; lanes beyond
+    ``tile_count`` are garbage from the append scheme and must be masked.
+    """
+
+    tile_side: jax.Array  # (F + Q,) i32
+    tile_lod: jax.Array  # (F + Q,) i32
+    tile_xy: jax.Array  # (F + Q, 2) i32
     tile_count: jax.Array  # () i32
 
 
@@ -53,81 +58,88 @@ def refine_tiles(uniforms: FrameUniforms, cfg: StaticTerrainConfig) -> Refinemen
     Root seeding mirrors prepare_prepass.wgsl:4-23 (1 root planar, 6
     spherical); iteration count mirrors the host dispatch loop
     (tiling_prepass.rs:248-263, default refinement_count 30), with early
-    exit once the queue drains.
+    exit once the queue drains. On the last pass still-subdividing parents
+    are emitted instead of dropped (the reference's trailing dispatch
+    discards their children, tiling_prepass.rs:259-263; emitting parents
+    keeps coverage complete).
     """
     Q = cfg.queue_capacity
     F = cfg.tile_capacity
 
     lane = jnp.arange(Q, dtype=jnp.int32)
 
-    # seed roots (side s, lod 0, xy (0,0))
     queue_side = jnp.where(lane < cfg.side_count, lane, 0).astype(jnp.int32)
-    queue_xy = jnp.zeros((Q, 2), jnp.int32)
+    queue_x = jnp.zeros((Q,), jnp.int32)
+    queue_y = jnp.zeros((Q,), jnp.int32)
     queue_count = jnp.int32(cfg.side_count)
 
-    final_side = jnp.zeros((F,), jnp.int32)
-    final_lod = jnp.full((F,), -1, jnp.int32)
-    final_xy = jnp.zeros((F, 2), jnp.int32)
+    final_side = jnp.zeros((F + Q,), jnp.int32)
+    final_lod = jnp.full((F + Q,), -1, jnp.int32)
+    final_x = jnp.zeros((F + Q,), jnp.int32)
+    final_y = jnp.zeros((F + Q,), jnp.int32)
     final_count = jnp.int32(0)
 
     def cond(state):
-        k, q_side, q_xy, q_count, f_side, f_lod, f_xy, f_count = state
+        k, q_count = state[0], state[8]
         return (k < cfg.refinement_count) & (q_count > 0)
 
     def body(state):
-        k, q_side, q_xy, q_count, f_side, f_lod, f_xy, f_count = state
-        lod = jnp.full((Q,), 0, jnp.int32) + k
+        (k, q_side, q_x, q_y, f_side, f_lod, f_x, f_y, q_count, f_count) = state
+        lod = jnp.broadcast_to(k, (Q,)).astype(jnp.int32)
         active = lane < q_count
 
+        q_xy = jnp.stack([q_x, q_y], axis=-1)
         divide = should_be_divided(q_side, lod, q_xy, uniforms, cfg) & active
-        # on the last pass everything still in flight goes to the final list
-        # (the reference issues one trailing refine_tiles dispatch whose
-        # children never run, tiling_prepass.rs:259-263; emitting the parents
-        # instead keeps coverage without cracks)
         divide = divide & (k + 1 < cfg.refinement_count)
         emit = active & ~divide
 
-        # --- compact emitted tiles into the final list (replaces the
-        # final_index atomic, refine_tiles.wgsl:13-15) ---
-        emit_i = emit.astype(jnp.int32)
-        emit_pos = f_count + jnp.cumsum(emit_i) - 1
-        emit_pos = jnp.where(emit, emit_pos, F)  # F == out of range -> drop
-        f_side = f_side.at[emit_pos].set(q_side, mode="drop")
-        f_lod = f_lod.at[emit_pos].set(lod, mode="drop")
-        f_xy = f_xy.at[emit_pos].set(q_xy, mode="drop")
-        f_count = jnp.minimum(f_count + jnp.sum(emit_i), F)
-
-        # --- expand children of divided tiles (replaces the child_index
-        # atomic, refine_tiles.wgsl:5-7, :24-31) ---
-        div_i = divide.astype(jnp.int32)
-        base = (jnp.cumsum(div_i) - 1) * 4  # first child lane per parent
-        child_sub = jnp.arange(4, dtype=jnp.int32)  # (4,)
-        child_pos = base[:, None] + child_sub[None, :]  # (Q, 4)
-        child_pos = jnp.where(divide[:, None], child_pos, Q)
-        child_xy = (
-            (q_xy[:, None, :] << 1)
-            + jnp.stack([child_sub & 1, child_sub >> 1], axis=-1)[None]
-        )  # (Q, 4, 2) — refine_tiles.wgsl:26
-        new_side = jnp.zeros_like(q_side).at[child_pos.reshape(-1)].set(
-            jnp.broadcast_to(q_side[:, None], (Q, 4)).reshape(-1), mode="drop"
+        # --- stable partition: emitted (0) | divided (1) | dead (2) ---
+        category = jnp.where(emit, 0, jnp.where(divide, 1, 2)).astype(jnp.int32)
+        s_cat, s_side, s_x, s_y = jax.lax.sort(
+            (category, q_side, q_x, q_y), num_keys=1, is_stable=True
         )
-        new_xy = jnp.zeros_like(q_xy).at[child_pos.reshape(-1)].set(
-            child_xy.reshape(-1, 2), mode="drop"
-        )
-        new_count = jnp.minimum(4 * jnp.sum(div_i), Q)
+        n_emit = jnp.sum(emit.astype(jnp.int32))
+        n_div = jnp.sum(divide.astype(jnp.int32))
 
-        return (k + 1, new_side, new_xy, new_count, f_side, f_lod, f_xy, f_count)
+        # --- append emitted prefix to the final list; the non-emitted tail
+        # written here is overwritten by the next level's append ---
+        offset = jnp.minimum(f_count, F)
+        f_side = jax.lax.dynamic_update_slice(f_side, s_side, (offset,))
+        f_lod = jax.lax.dynamic_update_slice(f_lod, lod, (offset,))
+        f_x = jax.lax.dynamic_update_slice(f_x, s_x, (offset,))
+        f_y = jax.lax.dynamic_update_slice(f_y, s_y, (offset,))
+        f_count = jnp.minimum(f_count + n_emit, F)
+
+        # --- children of the divided block (rows [n_emit, n_emit + n_div))
+        # (refine_tiles.wgsl:24-31): slice out the parents (padded so the
+        # dynamic start is never clamped), expand x4 in-lane ---
+        pad = jnp.zeros((Q,), jnp.int32)
+        p_side = jax.lax.dynamic_slice(jnp.concatenate([s_side, pad]), (n_emit,), (Q,))
+        p_x = jax.lax.dynamic_slice(jnp.concatenate([s_x, pad]), (n_emit,), (Q,))
+        p_y = jax.lax.dynamic_slice(jnp.concatenate([s_y, pad]), (n_emit,), (Q,))
+
+        child_sub = jnp.arange(4, dtype=jnp.int32)
+        c_side = jnp.repeat(p_side, 4)[:Q]
+        c_x = ((p_x[:, None] << 1) + (child_sub & 1)[None, :]).reshape(-1)[:Q]
+        c_y = ((p_y[:, None] << 1) + (child_sub >> 1)[None, :]).reshape(-1)[:Q]
+        new_count = jnp.minimum(4 * n_div, Q)
+
+        return (k + 1, c_side, c_x, c_y, f_side, f_lod, f_x, f_y, new_count, f_count)
 
     state = (
         jnp.int32(0),
         queue_side,
-        queue_xy,
-        queue_count,
+        queue_x,
+        queue_y,
         final_side,
         final_lod,
-        final_xy,
+        final_x,
+        final_y,
+        queue_count,
         final_count,
     )
     state = jax.lax.while_loop(cond, body, state)
-    _, _, _, _, f_side, f_lod, f_xy, f_count = state
-    return RefinementOutput(f_side, f_lod, f_xy, f_count)
+    (_, _, _, _, f_side, f_lod, f_x, f_y, _, f_count) = state
+    return RefinementOutput(
+        f_side, f_lod, jnp.stack([f_x, f_y], axis=-1), f_count
+    )

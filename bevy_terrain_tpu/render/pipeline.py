@@ -70,8 +70,29 @@ class Terrain:
         self.view_configs: dict[object, TerrainViewConfig] = {}
         self._static_cfgs: dict[object, StaticTerrainConfig] = {}
         self._step = jax.jit(self._frame_step, static_argnames=("cfg",))
+        grid_in_shardings = None
+        if jax.default_backend() == "tpu" and self.atlas.attachments:
+            fmt = getattr(self.atlas.attachments[0], "block_format", None)
+            if fmt is not None:
+                grid_in_shardings = (fmt, None)
+        if grid_in_shardings is not None:
+            self._step_grid = jax.jit(
+                self._frame_step_grid,
+                static_argnames=("cfg", "plan", "max_value"),
+                in_shardings=grid_in_shardings,
+            )
+        else:
+            self._step_grid = jax.jit(
+                self._frame_step_grid, static_argnames=("cfg", "plan", "max_value")
+            )
         self.shading_fn = shading_fn
         self.frame_index = 0
+        # gather-free fast path (TPU has no per-lane gather; see
+        # ops/patch_sampling.py); falls back to the exact per-vertex path
+        # when the attachment is too small for the patch pipeline
+        self.use_grid_mesh = self.atlas.attachments and (
+            self.atlas.attachments[0].patch_plan.usable
+        )
 
     # -- setup --
 
@@ -97,7 +118,11 @@ class Terrain:
             tile_capacity=view_config.tile_capacity,
             origin_lod=view_config.origin_lod,
             attachment_count=len(self.config.attachments),
-            **static_overrides,
+            **{
+                "pallas_sampling": jax.default_backend() == "tpu"
+                and view_config.grid_size == 16,
+                **static_overrides,
+            },
         )
 
     def remove_view(self, view_id) -> None:
@@ -116,6 +141,15 @@ class Terrain:
         tiles = refinement.refine_tiles(uniforms, cfg)
         mesh = meshgen.generate_mesh(
             tiles, height_slab, uniforms, cfg, attachment_scale, attachment_offset
+        )
+        return tiles, mesh
+
+    @staticmethod
+    def _frame_step_grid(block_array, uniforms: FrameUniforms,
+                         cfg: StaticTerrainConfig, plan, max_value: float):
+        tiles = refinement.refine_tiles(uniforms, cfg)
+        mesh = meshgen.generate_mesh_grid(
+            tiles, block_array, uniforms, cfg, plan, max_value
         )
         return tiles, mesh
 
@@ -155,13 +189,23 @@ class Terrain:
                 self.view_configs[view_id],
             )
             height = self.atlas.attachments[0]
-            tiles, mesh = self._step(
-                height.slabs[0],
-                uniforms,
-                cfg=self._static_cfgs[view_id],
-                attachment_scale=height.config.scale,
-                attachment_offset=height.config.offset,
-            )
+            if self.use_grid_mesh:
+                # positional args: pjit rejects kwargs with in_shardings
+                tiles, mesh = self._step_grid(
+                    height.block_array,
+                    uniforms,
+                    self._static_cfgs[view_id],
+                    height.patch_plan,
+                    height.config.format.max_value,
+                )
+            else:
+                tiles, mesh = self._step(
+                    height.slabs[0],
+                    uniforms,
+                    cfg=self._static_cfgs[view_id],
+                    attachment_scale=height.config.scale,
+                    attachment_offset=height.config.offset,
+                )
             outputs[view_id] = TerrainFrameOutput(tiles=tiles, mesh=mesh)
         self.frame_index += 1
         return outputs

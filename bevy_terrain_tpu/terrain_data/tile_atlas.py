@@ -38,6 +38,7 @@ import numpy as np
 from bevy_terrain_tpu.config import AttachmentConfig, TerrainConfig
 from bevy_terrain_tpu.formats.tc import TC
 from bevy_terrain_tpu.math.coordinate import TileCoordinate
+from bevy_terrain_tpu.ops.patch_sampling import blocks_from_tile, make_patch_plan
 from bevy_terrain_tpu.terrain_data import attachment as attachment_io
 
 INVALID_ATLAS_INDEX = -1
@@ -100,6 +101,29 @@ class AtlasAttachment:
             )
             for m in range(config.mip_level_count)
         ]
+        # unified blocked mip array for the gather-free patch sampler
+        # (ops/patch_sampling.py); None when the attachment is too small
+        self.patch_plan = make_patch_plan(
+            config.texture_size, config.mip_level_count, config.border_size
+        )
+        if self.patch_plan.usable:
+            # int32 storage: the Pallas fetch kernel's preferred tiling is
+            # the i32-native (8,128); u16 storage costs a whole-array layout
+            # copy per frame (measured 2.15 ms). The explicit row-major
+            # Format avoids a per-frame relayout (see pallas_kernels.block_format).
+            shape = (atlas_size * self.patch_plan.total_blocks_per_slot, 32, 32)
+            if jax.default_backend() == "tpu":
+                from bevy_terrain_tpu.ops.pallas_kernels import block_format
+
+                self.block_format = block_format()
+                self.block_array: Optional[jax.Array] = jax.device_put(
+                    jnp.zeros(shape, jnp.int32), self.block_format
+                )
+            else:
+                self.block_format = None
+                self.block_array = jnp.zeros(shape, jnp.int32)
+        else:
+            self.block_array = None
         # staged uploads: (atlas_index, [mip arrays])
         self._staged: list[tuple[int, list[np.ndarray]]] = []
         self.loading: list[tuple[Future, "AtlasTileAttachment"]] = []
@@ -173,6 +197,22 @@ class AtlasAttachment:
         for m in range(self.config.mip_level_count):
             vals = np.stack([mips[m] for _, mips in self._staged])
             self.slabs[m] = _scatter_tiles(self.slabs[m], jnp.asarray(indices), jnp.asarray(vals))
+        if self.block_array is not None:
+            per_slot = self.patch_plan.total_blocks_per_slot
+            block_vals = np.stack(
+                [blocks_from_tile(mips, self.patch_plan) for _, mips in self._staged]
+            )  # (n, per_slot, 32, 32)
+            block_idx = indices[:, None] * per_slot + np.arange(per_slot)[None, :]
+            scatter = (
+                _scatter_blocks_formatted(self.block_format)
+                if self.block_format is not None
+                else _scatter_tiles
+            )
+            self.block_array = scatter(
+                self.block_array,
+                jnp.asarray(block_idx.reshape(-1)),
+                jnp.asarray(block_vals.reshape(-1, 32, 32).astype(np.int32)),
+            )
         n = len(self._staged)
         self._staged.clear()
         return n
@@ -197,6 +237,21 @@ class AtlasAttachment:
 @jax.jit
 def _scatter_tiles(slab, indices, values):
     return slab.at[indices].set(values)
+
+
+_SCATTER_CACHE: dict = {}
+
+
+def _scatter_blocks_formatted(fmt):
+    """Scatter jit whose slab input/output keep the pallas block Format."""
+    key = str(fmt)
+    if key not in _SCATTER_CACHE:
+        _SCATTER_CACHE[key] = jax.jit(
+            lambda slab, idx, vals: slab.at[idx].set(vals),
+            in_shardings=(fmt, None, None),
+            out_shardings=fmt,
+        )
+    return _SCATTER_CACHE[key]
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,180 @@
+"""Tests for the gather-free patch sampling pipeline (ops/patch_sampling.py)
+and the grid-layout mesh path, including fast-vs-exact comparison."""
+
+import time
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bevy_terrain_tpu import (
+    AttachmentConfig,
+    AttachmentFormat,
+    Terrain,
+    TerrainConfig,
+    TerrainModel,
+    TerrainViewConfig,
+)
+from bevy_terrain_tpu.ops import meshgen, patch_sampling as ps, refinement
+from bevy_terrain_tpu.ops.params import StaticTerrainConfig
+from bevy_terrain_tpu.utils.synthetic import generate_planar_dataset
+
+
+def smooth_field(u, v):
+    return 0.5 + 0.3 * np.sin(2 * np.pi * u) * np.cos(2 * np.pi * v)
+
+
+CFG = StaticTerrainConfig(
+    spherical=False, side_count=1, lod_count=2, tree_size=8, grid_size=16,
+    refinement_count=8, queue_capacity=1024, tile_capacity=256, origin_lod=10,
+)
+
+
+class TestPatchPlan:
+    def test_512_plan(self):
+        plan = ps.make_patch_plan(512, 4, 2)
+        assert plan.usable and plan.min_mip == 1 and plan.max_mip == 3
+        # per-slot blocks: mip1 8x8 + mip2 4x4 + mip3 2x2
+        assert plan.total_blocks_per_slot == 64 + 16 + 4
+        assert plan.bases[1] == 0 and plan.bases[2] == 64 and plan.bases[3] == 80
+
+    def test_small_texture_not_usable(self):
+        assert not ps.make_patch_plan(64, 3, 2).usable
+        assert not ps.make_patch_plan(512, 1, 2).usable
+
+
+class TestHalfgridResample:
+    def test_constant_patch(self):
+        patch = jnp.full((3, 64, 64), 7.0)
+        p0 = jnp.zeros((3, 2))
+        dp = jnp.full((3,), 0.992)
+        half = ps.halfgrid_resample(patch, p0, dp, CFG)
+        np.testing.assert_allclose(np.asarray(half), 7.0, rtol=1e-6)
+
+    def test_linear_ramp_exact(self):
+        # bilinear interpolation reproduces a linear field exactly
+        y, x = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+        patch = jnp.asarray((2.0 * x + 3.0 * y)[None].astype(np.float32))
+        p0 = jnp.asarray([[1.25, 2.5]])
+        dp = jnp.asarray([0.9])
+        half = np.asarray(ps.halfgrid_resample(patch, p0, dp, CFG))
+        k = np.arange(33)
+        px = 1.25 + k * 0.9
+        py = 2.5 + k * 0.9
+        expect = 2.0 * px[None, :] + 3.0 * py[:, None]
+        np.testing.assert_allclose(half[0], expect, rtol=1e-5)
+
+    def test_clamp_to_edge(self):
+        patch = jnp.asarray(np.arange(64, dtype=np.float32)[None, None, :].repeat(64, 1))
+        p0 = jnp.asarray([[-0.5, 0.0]])  # starts left of the patch
+        dp = jnp.asarray([1.0])
+        half = np.asarray(ps.halfgrid_resample(patch, p0, dp, CFG))
+        assert half[0, 0, 0] == pytest.approx(0.0)  # clamped, not negative
+
+
+class TestVertexInterp:
+    def test_unmorphed_vertices_hit_even_halfgrid(self):
+        rng = np.random.default_rng(0)
+        half = jnp.asarray(rng.uniform(size=(2, 33, 33)).astype(np.float32))
+        g = np.arange(17) / 16.0
+        guv = np.stack(np.meshgrid(g, g, indexing="xy"), axis=-1)
+        uv = jnp.broadcast_to(jnp.asarray(guv[None], jnp.float32), (2, 17, 17, 2))
+        vals = np.asarray(ps.vertex_values_from_halfgrid(half, uv, CFG))
+        expect = np.asarray(half)[:, ::2, ::2]
+        np.testing.assert_allclose(vals, expect, atol=1e-6)
+
+    def test_half_morphed_vertex(self):
+        half = jnp.asarray(np.zeros((1, 33, 33), np.float32))
+        half = half.at[0, 10, 14].set(1.0)
+        # vertex at grid (7, 5): u=7/16 (hx=14); morph moves it toward the
+        # even grid 6/16 (hx=12). At hx=13.5 the tent between half-grid
+        # points 13 and 14 weights half[10,14] by 0.5.
+        uv = np.zeros((1, 17, 17, 2), np.float32)
+        g = np.arange(17) / 16.0
+        uv[0, :, :, 0], uv[0, :, :, 1] = np.meshgrid(g, g, indexing="xy")
+        uv[0, 5, 7, 0] = 13.5 / 32.0
+        uv[0, 5, 7, 1] = 10.0 / 32.0
+        vals = np.asarray(ps.vertex_values_from_halfgrid(half, jnp.asarray(uv), CFG))
+        assert vals[0, 5, 7] == pytest.approx(0.5)
+        # and exactly on the half-grid point 14 it is 1.0
+        uv[0, 5, 7, 0] = 14.0 / 32.0
+        vals = np.asarray(ps.vertex_values_from_halfgrid(half, jnp.asarray(uv), CFG))
+        assert vals[0, 5, 7] == pytest.approx(1.0)
+
+
+@pytest.fixture(scope="module")
+def big_terrain(tmp_path_factory):
+    root = tmp_path_factory.mktemp("assets")
+    attachment = AttachmentConfig(
+        name="height", texture_size=512, border_size=2, mip_level_count=4,
+        format=AttachmentFormat.R16,
+    )
+    generate_planar_dataset("terrains/big", 2, attachment, height_fn=smooth_field,
+                            root=str(root))
+    config = TerrainConfig(
+        lod_count=2,
+        model=TerrainModel.planar(np.zeros(3), 1000.0, 0.0, 100.0),
+        atlas_size=16, path="terrains/big", attachments=(attachment,),
+        assets_root=str(root),
+    )
+    terrain = Terrain(config)
+    terrain.add_view("cam", TerrainViewConfig(tile_capacity=256), queue_capacity=1024)
+    view = np.array([120.0, 60.0, -80.0])
+    for _ in range(30):
+        out = terrain.update({"cam": view})
+        if not terrain.atlas.state.to_load and not any(
+            a.loading for a in terrain.atlas.attachments
+        ):
+            break
+        time.sleep(0.01)
+    out = terrain.update({"cam": view})
+    return terrain, view, out["cam"]
+
+
+class TestGridMeshPath:
+    def test_grid_path_active(self, big_terrain):
+        terrain, _, out = big_terrain
+        assert terrain.use_grid_mesh
+        assert isinstance(out.mesh, meshgen.GridMeshOutput)
+
+    def test_heights_match_analytic(self, big_terrain):
+        _, _, out = big_terrain
+        mask = np.asarray(out.mesh.tile_mask)
+        pos = np.asarray(out.mesh.positions)[mask]
+        u = pos[..., 0] / 1000.0 + 0.5
+        v = pos[..., 2] / 1000.0 + 0.5
+        expect = smooth_field(u, v) * 100.0
+        err = np.abs(pos[..., 1] - expect)
+        assert np.median(err) < 0.5, float(np.median(err))
+        assert err.max() < 3.0, float(err.max())
+
+    def test_fast_matches_exact_path(self, big_terrain):
+        terrain, view, out = big_terrain
+        # run the exact per-vertex-gather path on the same frame state
+        tree = terrain.tile_trees["cam"]
+        from bevy_terrain_tpu.math.approximation import TerrainModelApproximation
+        from bevy_terrain_tpu.ops.params import make_frame_uniforms
+
+        approx = TerrainModelApproximation.compute(
+            terrain.config.model, view, tree.origin_lod, tree.approximate_height
+        )
+        uniforms = make_frame_uniforms(
+            terrain.config.model, view, approx, tree.origins, tree.entries,
+            tree.view_tile_int, tree.view_tile_frac, terrain.view_configs["cam"],
+        )
+        cfg = terrain._static_cfgs["cam"]
+        height = terrain.atlas.attachments[0]
+        tiles = refinement.refine_tiles(uniforms, cfg)
+        exact = meshgen.generate_mesh(
+            tiles, height.slabs[0], uniforms, cfg,
+            height.config.scale, height.config.offset,
+        )
+        n = int(tiles.tile_count)
+        # expand grid output to strip order and compare heights
+        strip_fast = meshgen.grid_to_strip_order(out.mesh.heights, cfg)[:n]
+        strip_exact = np.asarray(exact.heights[:n])
+        err = np.abs(strip_fast - strip_exact)
+        # fast path samples mips >= 1: expect sub-percent deviation on the
+        # smooth field (100 m height range)
+        assert np.median(err) < 0.2, float(np.median(err))
+        assert np.percentile(err, 99) < 1.0, float(np.percentile(err, 99))
