@@ -1,0 +1,220 @@
+"""Materials and shading: the fragment-stage equivalent as tensor ops.
+
+The reference rasterizes and shades per pixel (fragment.wgsl:95-113 with a
+user material composed via TerrainMaterialPlugin, terrain_material.rs:437-471).
+We don't rasterize — the frame's products are vertex/attribute tensors —
+so "shading" is a jittable function over the grid mesh producing per-vertex
+colors, which a rasterizer (or a screen-space resampler) consumes
+downstream. The pieces mirror the reference:
+
+* :func:`surface_normals_from_heights` — central-difference normals with
+  the per-face TBN (attachments.wgsl:51-107), computed gather-free from the
+  tile height grids.
+* :func:`default_color` — the reference's default material
+  (attachments.wgsl:109-113: grey = height * 0.5).
+* :func:`lambert_lighting` — a minimal directional-light stand-in for the
+  bevy_pbr lighting stage (LIGHTING flag, fragment.wgsl:52-63).
+* :func:`shade` — composes material + optional lighting + debug overlays
+  (the pipeline-flag specialization of terrain_material.rs:174-227).
+
+Custom materials are plain callables ``fn(ctx: ShadeContext) -> colors``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bevy_terrain_tpu.ops.meshgen import GridMeshOutput
+from bevy_terrain_tpu.ops.params import FrameUniforms, StaticTerrainConfig
+from bevy_terrain_tpu.ops.refinement import RefinementOutput
+
+# reference debug.wgsl:8-19
+_INDEX_COLORS = np.array(
+    [
+        [1.0, 0.0, 0.0, 1.0],
+        [0.0, 1.0, 0.0, 1.0],
+        [0.0, 0.0, 1.0, 1.0],
+        [1.0, 1.0, 0.0, 1.0],
+        [1.0, 0.0, 1.0, 1.0],
+        [0.0, 1.0, 1.0, 1.0],
+    ],
+    np.float32,
+)
+
+_FACE_UP = np.array(
+    [
+        [0.0, 1.0, 0.0],
+        [0.0, 1.0, 0.0],
+        [0.0, 0.0, -1.0],
+        [0.0, 0.0, -1.0],
+        [-1.0, 0.0, 0.0],
+        [-1.0, 0.0, 0.0],
+    ],
+    np.float32,
+)
+
+
+@dataclasses.dataclass
+class ShadeContext:
+    """Everything a material sees (the fragment stage's inputs)."""
+
+    mesh: GridMeshOutput
+    tiles: RefinementOutput
+    normals: jax.Array  # (F, G+1, G+1, 3) shading normals
+    uniforms: FrameUniforms
+    cfg: StaticTerrainConfig
+
+
+def index_color(index):
+    """debug.wgsl:8-19: palette color mixed 20% toward grey."""
+    c = jnp.asarray(_INDEX_COLORS)[index % 6]
+    return c + (jnp.full_like(c, 0.6) - c) * 0.2
+
+
+def surface_normals_from_heights(
+    mesh: GridMeshOutput,
+    tiles: RefinementOutput,
+    uniforms: FrameUniforms,
+    cfg: StaticTerrainConfig,
+):
+    """Central-difference surface normals on the vertex grid with the
+    per-face TBN (attachments.wgsl:51-107), gather-free.
+
+    The reference taps 4 extra texels per fragment; on the grid layout the
+    height differences come from the neighbouring vertices (spacing =
+    tile_size / grid_size), clamped at tile edges.
+    """
+    F = cfg.tile_capacity
+    G = cfg.grid_size
+    h = mesh.heights  # (F, G+1, G+1)
+
+    def diff(axis):
+        lo = jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(h, 0, 1, axis=axis),
+                jax.lax.slice_in_dim(h, 0, -1, axis=axis),
+            ],
+            axis=axis,
+        )
+        hi = jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(h, 1, None, axis=axis),
+                jax.lax.slice_in_dim(h, -1, None, axis=axis),
+            ],
+            axis=axis,
+        )
+        return hi - lo
+
+    # world-space spacing between adjacent grid vertices
+    lod = jnp.maximum(tiles.tile_lod[:F], 0).astype(jnp.float32)
+    if cfg.spherical:
+        side_length = jnp.float32(np.pi / 4.0) * uniforms.terrain_scale
+    else:
+        side_length = 2.0 * uniforms.terrain_scale
+    spacing = (side_length / jnp.exp2(lod) / G)[:, None, None]
+
+    dh_du = diff(2) / (2.0 * spacing)
+    dh_dv = diff(1) / (2.0 * spacing)
+
+    if cfg.spherical:
+        normal = mesh.normals
+        face_up = jnp.asarray(_FACE_UP)[tiles.tile_side[:F]][:, None, None, :]
+        tangent = jnp.cross(jnp.broadcast_to(face_up, normal.shape), normal)
+        tangent = tangent / jnp.maximum(
+            jnp.linalg.norm(tangent, axis=-1, keepdims=True), 1e-8
+        )
+        bitangent = jnp.cross(normal, tangent)
+    else:
+        shape = mesh.normals.shape
+        tangent = jnp.broadcast_to(jnp.asarray(np.array([1, 0, 0], np.float32)), shape)
+        bitangent = jnp.broadcast_to(jnp.asarray(np.array([0, 0, 1], np.float32)), shape)
+        normal = jnp.broadcast_to(jnp.asarray(np.array([0, 1, 0], np.float32)), shape)
+
+    n = (
+        -dh_du[..., None] * tangent
+        - dh_dv[..., None] * bitangent
+        + normal
+    )
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+
+
+def default_color(ctx: ShadeContext):
+    """Reference default material: grey from height (attachments.wgsl:109-113)."""
+    hn = (ctx.mesh.heights - ctx.uniforms.min_height) / jnp.maximum(
+        ctx.uniforms.max_height - ctx.uniforms.min_height, 1e-8
+    )
+    g = hn * 0.5
+    return jnp.stack([g, g, g, jnp.ones_like(g)], axis=-1)
+
+
+def lambert_lighting(colors, normals, light_direction=(0.4, 0.8, 0.45)):
+    """Directional diffuse stand-in for the PBR stage (LIGHTING flag)."""
+    light = np.asarray(light_direction, np.float32)
+    light = light / np.linalg.norm(light)
+    ndotl = jnp.clip(jnp.sum(normals * jnp.asarray(light), axis=-1), 0.0, 1.0)
+    lit = colors[..., :3] * (0.15 + 0.85 * ndotl[..., None])
+    return jnp.concatenate([lit, colors[..., 3:]], axis=-1)
+
+
+def show_geometry_lod(ctx: ShadeContext):
+    """LOD checkerboard debug view (debug.wgsl:27-34, 56-94 core)."""
+    F = ctx.cfg.tile_capacity
+    lod = jnp.maximum(ctx.tiles.tile_lod[:F], 0)
+    xy = ctx.tiles.tile_xy[:F]
+    color = index_color(lod)
+    dark = ((xy[:, 0] + xy[:, 1]) % 2) == 0
+    color = jnp.where(dark[:, None], color * 0.5, color)
+    if ctx.cfg.spherical:
+        side_c = index_color(ctx.tiles.tile_side[:F])
+        color = color + (side_c - color) * 0.3
+    G = ctx.cfg.grid_size
+    return jnp.broadcast_to(color[:, None, None, :], (F, G + 1, G + 1, 4))
+
+
+def show_uv(ctx: ShadeContext):
+    """SHOW_UV debug view (fragment.wgsl:82-84)."""
+    uv = ctx.mesh.uvs
+    return jnp.concatenate(
+        [uv, jnp.zeros_like(uv[..., :1]), jnp.ones_like(uv[..., :1])], axis=-1
+    )
+
+
+def show_normals(ctx: ShadeContext):
+    """SHOW_NORMALS debug view (fragment.wgsl:85-87)."""
+    return jnp.concatenate(
+        [ctx.normals * 0.5 + 0.5, jnp.ones_like(ctx.normals[..., :1])], axis=-1
+    )
+
+
+DEBUG_VIEWS = {
+    "geometry_lod": show_geometry_lod,
+    "uv": show_uv,
+    "normals": show_normals,
+}
+
+
+def shade(
+    mesh: GridMeshOutput,
+    tiles: RefinementOutput,
+    uniforms: FrameUniforms,
+    cfg: StaticTerrainConfig,
+    material: Optional[Callable] = None,
+    lighting: bool = True,
+    debug_view: Optional[str] = None,
+):
+    """Fragment-stage composition (fragment.wgsl:95-113): material color,
+    optional lighting, optional debug overlay. Returns (F, G+1, G+1, 4)."""
+    normals = surface_normals_from_heights(mesh, tiles, uniforms, cfg)
+    ctx = ShadeContext(mesh=mesh, tiles=tiles, normals=normals, uniforms=uniforms, cfg=cfg)
+    colors = (material or default_color)(ctx)
+    if lighting:
+        colors = lambert_lighting(colors, normals)
+    if debug_view is not None:
+        colors = DEBUG_VIEWS[debug_view](ctx)
+    mask = mesh.tile_mask[:, None, None, None]
+    return jnp.where(mask, colors, 0.0)

@@ -46,6 +46,8 @@ class TerrainFrameOutput:
 
     tiles: refinement.RefinementOutput
     mesh: meshgen.MeshOutput
+    # per-vertex RGBA when shading is enabled (set_shading), grid path only
+    colors: "jax.Array | None" = None
 
     @property
     def tile_count(self) -> int:
@@ -75,17 +77,18 @@ class Terrain:
             fmt = getattr(self.atlas.attachments[0], "block_format", None)
             if fmt is not None:
                 grid_in_shardings = (fmt, None)
+        static_names = ("cfg", "plan", "max_value", "shade_opts", "material")
         if grid_in_shardings is not None:
             self._step_grid = jax.jit(
                 self._frame_step_grid,
-                static_argnames=("cfg", "plan", "max_value"),
+                static_argnames=static_names,
                 in_shardings=grid_in_shardings,
             )
         else:
-            self._step_grid = jax.jit(
-                self._frame_step_grid, static_argnames=("cfg", "plan", "max_value")
-            )
+            self._step_grid = jax.jit(self._frame_step_grid, static_argnames=static_names)
         self.shading_fn = shading_fn
+        # shading config: None = vertex buffers only; set via set_shading()
+        self._shade_opts = None
         self.frame_index = 0
         # gather-free fast path (TPU has no per-lane gather; see
         # ops/patch_sampling.py); falls back to the exact per-vertex path
@@ -121,9 +124,20 @@ class Terrain:
             **{
                 "pallas_sampling": jax.default_backend() == "tpu"
                 and view_config.grid_size == 16,
+                # the reference's high_precision feature targets planetary
+                # scale; enable the Taylor relative path for spherical models
+                "high_precision": model.is_spherical,
                 **static_overrides,
             },
         )
+
+    def set_shading(self, material=None, lighting: bool = True,
+                    debug_view=None, enabled: bool = True) -> None:
+        """Enable per-vertex shading in the frame step (fragment-stage
+        equivalent; see render/material.py). ``material`` must be a stable
+        jittable callable — it is a jit-static argument."""
+        self.shading_fn = material
+        self._shade_opts = (lighting, debug_view) if enabled else None
 
     def remove_view(self, view_id) -> None:
         """Release every tile the view still holds, then drop it."""
@@ -146,12 +160,22 @@ class Terrain:
 
     @staticmethod
     def _frame_step_grid(block_array, uniforms: FrameUniforms,
-                         cfg: StaticTerrainConfig, plan, max_value: float):
+                         cfg: StaticTerrainConfig, plan, max_value: float,
+                         shade_opts=None, material=None):
         tiles = refinement.refine_tiles(uniforms, cfg)
         mesh = meshgen.generate_mesh_grid(
             tiles, block_array, uniforms, cfg, plan, max_value
         )
-        return tiles, mesh
+        colors = None
+        if shade_opts is not None:
+            from bevy_terrain_tpu.render.material import shade
+
+            lighting, debug_view = shade_opts
+            colors = shade(
+                mesh, tiles, uniforms, cfg,
+                material=material, lighting=lighting, debug_view=debug_view,
+            )
+        return tiles, mesh, colors
 
     # -- per-frame orchestration (reference plugin.rs:46-56 Last schedule) --
 
@@ -189,14 +213,17 @@ class Terrain:
                 self.view_configs[view_id],
             )
             height = self.atlas.attachments[0]
+            colors = None
             if self.use_grid_mesh:
                 # positional args: pjit rejects kwargs with in_shardings
-                tiles, mesh = self._step_grid(
+                tiles, mesh, colors = self._step_grid(
                     height.block_array,
                     uniforms,
                     self._static_cfgs[view_id],
                     height.patch_plan,
                     height.config.format.max_value,
+                    self._shade_opts,
+                    self.shading_fn,
                 )
             else:
                 tiles, mesh = self._step(
@@ -206,6 +233,6 @@ class Terrain:
                     attachment_scale=height.config.scale,
                     attachment_offset=height.config.offset,
                 )
-            outputs[view_id] = TerrainFrameOutput(tiles=tiles, mesh=mesh)
+            outputs[view_id] = TerrainFrameOutput(tiles=tiles, mesh=mesh, colors=colors)
         self.frame_index += 1
         return outputs

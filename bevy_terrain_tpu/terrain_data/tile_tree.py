@@ -91,7 +91,12 @@ class TileTree:
         """
         model = self.model
         if model.is_spherical:
-            local = local_position_from_side_uv(self._sides, uv)
+            # slots whose wrapped coordinate exceeds the per-lod tile count
+            # produce uv > 1 -> NaN positions -> never requested (the
+            # reference's f64 powf(0.5) of a negative does the same,
+            # coordinate.rs:113); silence the benign warning
+            with np.errstate(invalid="ignore"):
+                local = local_position_from_side_uv(self._sides, uv)
         else:
             local = np.stack(
                 [uv[..., 0] - 0.5, np.zeros_like(uv[..., 0]), uv[..., 1] - 0.5],

@@ -1,0 +1,119 @@
+"""Cube-sphere planet: preprocess six faces and orbit a camera.
+
+Twin of reference examples/spherical.rs + preprocess_spherical.rs. With no
+arguments it synthesizes six 1024^2 faces of an analytic planet first.
+
+    python examples/spherical.py [--assets DIR] [--frames N]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bevy_terrain_tpu import (
+    AttachmentConfig,
+    AttachmentFormat,
+    Preprocessor,
+    SphericalDataset,
+    Terrain,
+    TerrainConfig,
+    TerrainModel,
+    TerrainViewConfig,
+)
+from bevy_terrain_tpu.debug import ApproachCamera
+from bevy_terrain_tpu.formats.tiff import array_to_source
+from bevy_terrain_tpu.math.coordinate import local_position_from_side_uv, sigmoid_warp_forward
+from bevy_terrain_tpu.terrain_data import TileAtlas
+
+PATH = "terrains/spherical"
+RADIUS = 6.371e6
+MIN_HEIGHT, MAX_HEIGHT = 0.0, 9000.0
+LOD_COUNT = 4
+TEXTURE_SIZE = 512
+
+
+def planet_height(p):
+    """Analytic normalized planet heights from a unit-sphere position."""
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    h = (
+        0.45
+        + 0.25 * np.sin(3 * x + 1) * np.cos(4 * y)
+        + 0.18 * np.sin(5 * z + 2) * np.sin(2 * x * y + 0.5)
+        + 0.08 * np.cos(11 * (x + y + z))
+    )
+    return np.clip(h, 0.02, 1.0)
+
+
+def synthesize_faces(out_dir: Path, n: int = 1024) -> list[str]:
+    paths = []
+    uv = (np.arange(n) + 0.5) / n
+    uu, vv = np.meshgrid(uv, uv, indexing="xy")
+    grid_uv = np.stack([uu, vv], axis=-1)
+    for side in range(6):
+        p = local_position_from_side_uv(side, grid_uv)
+        path = out_dir / f"face{side}.png"
+        if not path.exists():
+            array_to_source(planet_height(p), path)
+        paths.append(str(path))
+    return paths
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--assets", default="assets")
+    ap.add_argument("--frames", type=int, default=40)
+    args = ap.parse_args()
+
+    config = TerrainConfig(
+        lod_count=LOD_COUNT,
+        model=TerrainModel.sphere(np.zeros(3), RADIUS, MIN_HEIGHT, MAX_HEIGHT),
+        atlas_size=2048,
+        path=PATH,
+        assets_root=args.assets,
+    ).add_attachment(
+        AttachmentConfig(
+            name="height", texture_size=TEXTURE_SIZE, border_size=2,
+            mip_level_count=4, format=AttachmentFormat.R16,
+        )
+    )
+
+    manifest = Path(args.assets) / PATH / "config.tc"
+    if not manifest.exists():
+        src_dir = Path(args.assets) / "source"
+        src_dir.mkdir(parents=True, exist_ok=True)
+        print("synthesizing six cube faces...")
+        paths = synthesize_faces(src_dir)
+        atlas = TileAtlas(config)
+        Preprocessor(atlas).clear_attachment(0).preprocess_spherical(
+            SphericalDataset(attachment_index=0, paths=paths, lod_range=range(0, LOD_COUNT))
+        ).run()
+
+    terrain = Terrain(config)
+    terrain.add_view("camera", TerrainViewConfig(tile_capacity=8192), queue_capacity=32768)
+    terrain.set_shading(lighting=True)
+
+    cam = ApproachCamera(
+        target=np.zeros(3), start_distance=3.0 * RADIUS, end_distance=RADIUS + 20000.0
+    )
+    times = []
+    for i, view in enumerate(cam.path(args.frames)):
+        t0 = time.perf_counter()
+        out = terrain.update({"camera": view})["camera"]
+        times.append(time.perf_counter() - t0)
+        if i % 10 == 0:
+            print(
+                f"frame {i:3d}: dist={np.linalg.norm(view) - RADIUS:12.0f} m "
+                f"tiles={out.tile_count:5d} resident={len(terrain.atlas.state.tile_states):4d} "
+                f"wall={times[-1] * 1e3:8.2f} ms"
+            )
+    steady = np.median(times[len(times) // 2 :]) * 1e3
+    print(f"steady-state frame: {steady:.2f} ms wall")
+
+
+if __name__ == "__main__":
+    main()

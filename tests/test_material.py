@@ -1,0 +1,161 @@
+"""Shading / material / debug-view tests (render/material.py + debug/)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from bevy_terrain_tpu import (
+    AttachmentConfig,
+    AttachmentFormat,
+    Terrain,
+    TerrainConfig,
+    TerrainModel,
+    TerrainViewConfig,
+)
+from bevy_terrain_tpu.debug import ApproachCamera, DebugTerrain, OrbitCamera
+from bevy_terrain_tpu.render import material as mat
+from bevy_terrain_tpu.utils.synthetic import generate_planar_dataset
+
+
+def ramp_field(u, v):
+    # gradient only along u: dh/du = 0.5, flat along v
+    return 0.25 + 0.5 * u
+
+
+@pytest.fixture(scope="module")
+def shaded_terrain(tmp_path_factory):
+    root = tmp_path_factory.mktemp("assets")
+    att = AttachmentConfig(
+        name="height", texture_size=512, border_size=2, mip_level_count=4,
+        format=AttachmentFormat.R16,
+    )
+    generate_planar_dataset("terrains/mat", 2, att, height_fn=ramp_field, root=str(root))
+    config = TerrainConfig(
+        lod_count=2,
+        model=TerrainModel.planar(np.zeros(3), 1000.0, 0.0, 100.0),
+        atlas_size=16, path="terrains/mat", attachments=(att,), assets_root=str(root),
+    )
+    t = Terrain(config)
+    t.add_view("cam", TerrainViewConfig(tile_capacity=256), queue_capacity=1024)
+    t.set_shading(lighting=True)
+    view = np.array([0.0, 150.0, 0.0])
+    for _ in range(30):
+        out = t.update({"cam": view})
+        if not t.atlas.state.to_load and not any(a.loading for a in t.atlas.attachments):
+            break
+        time.sleep(0.01)
+    out = t.update({"cam": view})["cam"]
+    return t, view, out
+
+
+class TestShading:
+    def test_colors_shape_and_range(self, shaded_terrain):
+        t, _, out = shaded_terrain
+        assert out.colors is not None
+        F, G1 = out.mesh.heights.shape[0], out.mesh.heights.shape[1]
+        assert out.colors.shape == (F, G1, G1, 4)
+        c = np.asarray(out.colors)[np.asarray(out.mesh.tile_mask)]
+        assert c.min() >= 0.0 and c.max() <= 1.0 + 1e-6
+
+    def test_normals_match_ramp_gradient(self, shaded_terrain):
+        t, _, out = shaded_terrain
+        from bevy_terrain_tpu.ops import refinement
+
+        cfg = t._static_cfgs["cam"]
+        # surface normal of h = 100*(0.25 + 0.5*(x/1000+0.5)) => dh/dx = 0.05
+        # => n ~ normalize(-0.05, 1, 0)
+        tiles = out.tiles
+        normals = mat.surface_normals_from_heights(
+            out.mesh, tiles,
+            # uniforms only used for scale fields; rebuild quickly
+            _uniforms(t, "cam"), cfg,
+        )
+        n = np.asarray(normals)[np.asarray(out.mesh.tile_mask)]
+        # interior vertices only (edges are one-sided)
+        n = n[:, 2:-2, 2:-2]
+        expect = np.array([-0.05, 1.0, 0.0])
+        expect = expect / np.linalg.norm(expect)
+        err = np.linalg.norm(n - expect, axis=-1)
+        assert np.median(err) < 0.02, float(np.median(err))
+
+    def test_debug_view_geometry_lod(self, shaded_terrain):
+        t, view, _ = shaded_terrain
+        t.set_shading(debug_view="geometry_lod")
+        out = t.update({"cam": view})["cam"]
+        c = np.asarray(out.colors)[np.asarray(out.mesh.tile_mask)]
+        # checkerboard: distinct colors present, all rows uniform per tile
+        assert len(np.unique(c.reshape(-1, 4), axis=0)) > 1
+        t.set_shading(lighting=True)  # restore
+
+    def test_custom_material(self, shaded_terrain):
+        t, view, _ = shaded_terrain
+
+        def red_material(ctx):
+            import jax.numpy as jnp
+
+            h = ctx.mesh.heights
+            return jnp.stack(
+                [jnp.ones_like(h), jnp.zeros_like(h), jnp.zeros_like(h), jnp.ones_like(h)],
+                axis=-1,
+            )
+
+        t.set_shading(material=red_material, lighting=False)
+        out = t.update({"cam": view})["cam"]
+        c = np.asarray(out.colors)[np.asarray(out.mesh.tile_mask)]
+        assert (c[..., 0] == 1.0).all() and (c[..., 1] == 0.0).all()
+        t.set_shading(lighting=True)
+
+    def test_shading_disabled(self, shaded_terrain):
+        t, view, _ = shaded_terrain
+        t.set_shading(enabled=False)
+        out = t.update({"cam": view})["cam"]
+        assert out.colors is None
+        t.set_shading(lighting=True)
+
+
+class TestDebugToggles:
+    def test_defaults_match_reference(self):
+        d = DebugTerrain()
+        assert d.morph and d.blend and d.lighting and not d.freeze
+        assert d.debug_view is None
+
+    def test_debug_view_selection(self):
+        d = DebugTerrain(show_uv=True)
+        assert d.debug_view == "uv"
+        assert DebugTerrain(show_geometry_lod=True).debug_view == "geometry_lod"
+
+    def test_static_overrides(self):
+        d = DebugTerrain(morph=False)
+        assert d.static_overrides()["morph"] is False
+
+
+class TestCameras:
+    def test_orbit_path(self):
+        cam = OrbitCamera(center=np.zeros(3), radius=100.0, height=50.0)
+        path = cam.path(10)
+        assert len(path) == 10
+        radii = [np.hypot(p[0], p[2]) for p in path]
+        np.testing.assert_allclose(radii, 100.0, atol=1e-9)
+
+    def test_approach_path_monotone(self):
+        cam = ApproachCamera(target=np.zeros(3), start_distance=1e6, end_distance=100.0)
+        d = [np.linalg.norm(p) for p in cam.path(20)]
+        assert all(a > b for a, b in zip(d, d[1:]))
+        assert d[-1] == pytest.approx(100.0)
+
+
+def _uniforms(terrain, view_id):
+    from bevy_terrain_tpu.math.approximation import TerrainModelApproximation
+    from bevy_terrain_tpu.ops.params import make_frame_uniforms
+
+    tree = terrain.tile_trees[view_id]
+    approx = TerrainModelApproximation.compute(
+        terrain.config.model, tree.view_world_position, tree.origin_lod,
+        tree.approximate_height,
+    )
+    return make_frame_uniforms(
+        terrain.config.model, tree.view_world_position, approx, tree.origins,
+        tree.entries, tree.view_tile_int, tree.view_tile_frac,
+        terrain.view_configs[view_id],
+    )
