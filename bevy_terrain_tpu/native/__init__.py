@@ -1,0 +1,215 @@
+"""ctypes bindings for the native terrain runtime (terrain_runtime.cpp).
+
+The C++ library implements the residency state machine and the async tile
+file loader — the parts the reference writes in Rust (tile_atlas.rs). The
+Python implementations in terrain_data/tile_atlas.py remain as the
+fallback and as the oracle the native backend is tested against.
+
+Build with ``make -C bevy_terrain_tpu/native`` (auto-attempted on first
+import when the .so is missing and a compiler is available).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_DIR = Path(__file__).resolve().parent
+_LIB_PATH = _DIR / "libterrain_runtime.so"
+_lib = None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists():
+        try:
+            subprocess.run(
+                ["make", "-C", str(_DIR)], check=True, capture_output=True, timeout=120
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.tr_residency_create.restype = ctypes.c_void_p
+    lib.tr_residency_create.argtypes = [ctypes.c_int32, ctypes.c_int32]
+    lib.tr_residency_destroy.argtypes = [ctypes.c_void_p]
+    lib.tr_add_existing.argtypes = [ctypes.c_void_p, i64p, ctypes.c_int64]
+    lib.tr_clear_existing.argtypes = [ctypes.c_void_p]
+    lib.tr_existing_count.restype = ctypes.c_int64
+    lib.tr_existing_count.argtypes = [ctypes.c_void_p]
+    lib.tr_request.restype = ctypes.c_int32
+    lib.tr_request.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.tr_release.restype = ctypes.c_int32
+    lib.tr_release.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.tr_loaded.restype = ctypes.c_int32
+    lib.tr_loaded.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.tr_get_or_allocate.restype = ctypes.c_int32
+    lib.tr_get_or_allocate.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.tr_drain_loads.restype = ctypes.c_int64
+    lib.tr_drain_loads.argtypes = [ctypes.c_void_p, i64p, i32p, i32p, ctypes.c_int64]
+    lib.tr_best_tiles.argtypes = [
+        ctypes.c_void_p, i32p, i32p, i32p, i32p, ctypes.c_int64, i32p, i32p,
+    ]
+    lib.tr_requests_of.restype = ctypes.c_int32
+    lib.tr_requests_of.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.tr_index_of.restype = ctypes.c_int32
+    lib.tr_index_of.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.tr_resident_count.restype = ctypes.c_int64
+    lib.tr_resident_count.argtypes = [ctypes.c_void_p]
+    lib.tr_io_create.restype = ctypes.c_void_p
+    lib.tr_io_create.argtypes = [ctypes.c_int32]
+    lib.tr_io_destroy.argtypes = [ctypes.c_void_p]
+    lib.tr_io_submit.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
+    lib.tr_io_poll.restype = ctypes.c_int64
+    lib.tr_io_poll.argtypes = [ctypes.c_void_p, i64p, i64p, ctypes.c_int64]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _i64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+class NativeResidency:
+    """C++ residency state machine (see terrain_runtime.cpp)."""
+
+    def __init__(self, atlas_size: int, attachment_count: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native terrain runtime not available")
+        self._lib = lib
+        self._h = lib.tr_residency_create(atlas_size, attachment_count)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.tr_residency_destroy(self._h)
+            self._h = None
+
+    def add_existing(self, keys: np.ndarray) -> None:
+        keys = np.ascontiguousarray(keys, np.int64)
+        self._lib.tr_add_existing(self._h, _i64p(keys), len(keys))
+
+    def clear_existing(self) -> None:
+        self._lib.tr_clear_existing(self._h)
+
+    @property
+    def existing_count(self) -> int:
+        return self._lib.tr_existing_count(self._h)
+
+    def request(self, key: int) -> int:
+        result = self._lib.tr_request(self._h, key)
+        if result == -3:
+            raise RuntimeError("Atlas out of indices")
+        return result
+
+    def release(self, key: int) -> None:
+        if self._lib.tr_release(self._h, key) != 0:
+            raise RuntimeError("Tried releasing a tile, which is not present.")
+
+    def loaded(self, key: int) -> None:
+        if self._lib.tr_loaded(self._h, key) != 0:
+            raise RuntimeError(
+                "Loaded more attachments than registered with the tile atlas."
+            )
+
+    def get_or_allocate(self, key: int) -> int:
+        result = self._lib.tr_get_or_allocate(self._h, key)
+        if result == -3:
+            raise RuntimeError("Atlas out of indices")
+        return result
+
+    def drain_loads(self, cap: int = 4096):
+        keys = np.empty(cap, np.int64)
+        indices = np.empty(cap, np.int32)
+        attachments = np.empty(cap, np.int32)
+        n = self._lib.tr_drain_loads(
+            self._h, _i64p(keys), _i32p(indices), _i32p(attachments), cap
+        )
+        return keys[:n], indices[:n], attachments[:n]
+
+    def best_tiles(self, side, lod, x, y):
+        side = np.ascontiguousarray(side, np.int32).ravel()
+        lod = np.ascontiguousarray(lod, np.int32).ravel()
+        x = np.ascontiguousarray(x, np.int32).ravel()
+        y = np.ascontiguousarray(y, np.int32).ravel()
+        out_index = np.empty(side.shape, np.int32)
+        out_lod = np.empty(side.shape, np.int32)
+        self._lib.tr_best_tiles(
+            self._h, _i32p(side), _i32p(lod), _i32p(x), _i32p(y),
+            len(side), _i32p(out_index), _i32p(out_lod),
+        )
+        return out_index, out_lod
+
+    def requests_of(self, key: int) -> int:
+        return self._lib.tr_requests_of(self._h, key)
+
+    def index_of(self, key: int) -> int:
+        return self._lib.tr_index_of(self._h, key)
+
+    @property
+    def resident_count(self) -> int:
+        return self._lib.tr_resident_count(self._h)
+
+
+class NativeIoPool:
+    """C++ async file reader pool (see terrain_runtime.cpp IoPool)."""
+
+    def __init__(self, threads: int = 8):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native terrain runtime not available")
+        self._lib = lib
+        self._h = lib.tr_io_create(threads)
+        self._buffers: dict[int, np.ndarray] = {}
+        self._next = 0
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.tr_io_destroy(self._h)
+            self._h = None
+
+    def submit(self, path: str, capacity: int) -> int:
+        job_id = self._next
+        self._next += 1
+        buf = np.empty(capacity, np.uint8)
+        self._buffers[job_id] = buf
+        self._lib.tr_io_submit(
+            self._h, job_id, str(path).encode(),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), capacity,
+        )
+        return job_id
+
+    def poll(self, cap: int = 256):
+        """Returns list of (job_id, bytes_or_None_on_error, buffer)."""
+        ids = np.empty(cap, np.int64)
+        sizes = np.empty(cap, np.int64)
+        n = self._lib.tr_io_poll(self._h, _i64p(ids), _i64p(sizes), cap)
+        out = []
+        for i in range(n):
+            job_id = int(ids[i])
+            buf = self._buffers.pop(job_id)
+            size = int(sizes[i])
+            out.append((job_id, None if size < 0 else size, buf))
+        return out

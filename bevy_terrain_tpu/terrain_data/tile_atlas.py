@@ -264,9 +264,29 @@ class AtlasTileAttachment:
 
 
 class TileAtlasState:
-    """Residency state machine (reference tile_atlas.rs:282-504)."""
+    """Residency state machine (reference tile_atlas.rs:282-504).
 
-    def __init__(self, atlas_size: int, attachment_count: int, existing_tiles):
+    When the native runtime is built (bevy_terrain_tpu/native), every
+    state transition is mirrored into the C++ machine and the per-frame
+    ``get_best_tiles`` batch walk runs natively (the Python walk remains
+    the oracle — equivalence is fuzz-tested in tests/test_native.py).
+    """
+
+    def __init__(self, atlas_size: int, attachment_count: int, existing_tiles,
+                 use_native: Optional[bool] = None):
+        from bevy_terrain_tpu import native as native_mod
+
+        if use_native is None:
+            use_native = native_mod.available()
+        self._native = (
+            native_mod.NativeResidency(atlas_size, attachment_count)
+            if use_native
+            else None
+        )
+        if self._native is not None and existing_tiles:
+            self._native.add_existing(
+                np.array([self._key(t) for t in existing_tiles], np.int64)
+            )
         self.tile_states: dict[TileCoordinate, _TileState] = {}
         # FIFO of unused slots == LRU cache (tile_atlas.rs:506-515)
         self.unused_tiles: OrderedDict[int, TileCoordinate] = OrderedDict(
@@ -287,6 +307,10 @@ class TileAtlasState:
         self._loaded_indices: np.ndarray = np.empty(0, np.int64)
         self._loaded_dirty = True
 
+    @staticmethod
+    def _key(coordinate: TileCoordinate) -> int:
+        return int(pack_keys(coordinate.side, coordinate.lod, coordinate.x, coordinate.y))
+
     # -- slot bookkeeping --
 
     def loaded_tile_attachment(self, tile: AtlasTileAttachment) -> None:
@@ -300,6 +324,8 @@ class TileAtlasState:
         state.loading_remaining -= 1
         if state.loading_remaining == 0:
             self._loaded_dirty = True
+        if self._native is not None:
+            self._native.loaded(self._key(tile.coordinate))
 
     def saved_tile_attachment(self) -> None:
         self.save_slots += 1
@@ -331,6 +357,8 @@ class TileAtlasState:
         tile existing + Loaded immediately."""
         if coordinate == TileCoordinate.INVALID:
             return INVALID_ATLAS_INDEX
+        if self._native is not None:
+            self._native.get_or_allocate(self._key(coordinate))
         self.existing_tiles.add(coordinate)
         state = self.tile_states.get(coordinate)
         if state is not None:
@@ -347,6 +375,9 @@ class TileAtlasState:
     def request_tile(self, coordinate: TileCoordinate) -> None:
         if coordinate not in self.existing_tiles:
             return
+        if self._native is not None:
+            self._native.request(self._key(coordinate))
+            self._native.drain_loads()  # Python to_load is authoritative
         state = self.tile_states.get(coordinate)
         if state is not None:
             if state.requests == 0:
@@ -368,6 +399,8 @@ class TileAtlasState:
     def release_tile(self, coordinate: TileCoordinate) -> None:
         if coordinate not in self.existing_tiles:
             return
+        if self._native is not None:
+            self._native.release(self._key(coordinate))
         state = self.tile_states.get(coordinate)
         if state is None:
             raise RuntimeError("Tried releasing a tile, which is not present.")
@@ -394,6 +427,10 @@ class TileAtlasState:
         """Vectorized parent walk: for each (side, lod, x, y) find the
         deepest loaded ancestor. Returns (atlas_index, atlas_lod) int32
         arrays (INVALID where nothing is loaded)."""
+        if self._native is not None:
+            shape = np.asarray(side).shape
+            idx, lod_out = self._native.best_tiles(side, lod, x, y)
+            return idx.reshape(shape), lod_out.reshape(shape)
         self._refresh_loaded()
         side = np.asarray(side, np.int64)
         lod = np.asarray(lod, np.int64)

@@ -1,0 +1,152 @@
+"""Native (C++) terrain runtime: equivalence with the Python oracle.
+
+The C++ residency machine must produce byte-identical decisions (atlas
+indices, LRU evictions, best-tile walks, error conditions) for arbitrary
+operation sequences; the IO pool must read files correctly and report
+missing ones."""
+
+import numpy as np
+import pytest
+
+from bevy_terrain_tpu import native
+from bevy_terrain_tpu.math.coordinate import TileCoordinate
+from bevy_terrain_tpu.terrain_data.tile_atlas import TileAtlasState, pack_keys
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native runtime not built"
+)
+
+
+def key_of(c: TileCoordinate) -> int:
+    return int(pack_keys(c.side, c.lod, c.x, c.y))
+
+
+def make_pair(atlas_size=16, attachments=2, lods=4):
+    tiles = [
+        TileCoordinate(0, lod, x, y)
+        for lod in range(lods)
+        for x in range(1 << lod)
+        for y in range(1 << lod)
+    ]
+    py = TileAtlasState(atlas_size, attachments, tiles)
+    nat = native.NativeResidency(atlas_size, attachments)
+    nat.add_existing(np.array([key_of(t) for t in tiles], np.int64))
+    return py, nat, tiles
+
+
+class TestEquivalence:
+    def test_fuzz_sequences(self):
+        rng = np.random.default_rng(42)
+        py, nat, tiles = make_pair()
+        held = []
+        loading = {}  # coord -> remaining attachments
+
+        for step in range(3000):
+            op = rng.integers(0, 4)
+            if op == 0 and len(held) < 14:  # request
+                t = tiles[rng.integers(0, len(tiles))]
+                before = t in py.tile_states
+                py.request_tile(t)
+                n_idx = nat.request(key_of(t))
+                assert py.tile_states[t].atlas_index == n_idx, step
+                if not before:
+                    loading[t] = py.attachment_count
+                held.append(t)
+            elif op == 1 and held:  # release
+                t = held.pop(rng.integers(0, len(held)))
+                py.release_tile(t)
+                nat.release(key_of(t))
+            elif op == 2 and loading:  # one attachment load completes
+                t = list(loading)[rng.integers(0, len(loading))]
+                if t in py.tile_states:
+
+                    class _T:
+                        coordinate = t
+                        atlas_index = py.tile_states[t].atlas_index
+                        attachment_index = 0
+
+                    py.load_slots -= 1  # loaded_tile_attachment refunds one
+                    py.loaded_tile_attachment(_T())
+                    nat.loaded(key_of(t))
+                loading[t] -= 1
+                if loading[t] == 0:
+                    del loading[t]
+            else:  # compare best tiles over a probe set
+                side = np.zeros(64, np.int32)
+                lod = rng.integers(0, 4, 64).astype(np.int32)
+                x = rng.integers(0, 8, 64).astype(np.int32) % (1 << lod)
+                y = rng.integers(0, 8, 64).astype(np.int32) % (1 << lod)
+                pi, pl = py.get_best_tiles(side, lod, x, y)
+                ni, nl = nat.best_tiles(side, lod, x, y)
+                np.testing.assert_array_equal(pi, ni, err_msg=f"step {step}")
+                np.testing.assert_array_equal(pl, nl, err_msg=f"step {step}")
+
+        # drained load queues match in order
+        pk = [(key_of(e.coordinate), e.atlas_index, e.attachment_index) for e in py.to_load]
+        nk, ni, na = nat.drain_loads(8192)
+        assert pk == list(zip(nk.tolist(), ni.tolist(), na.tolist()))
+
+    def test_exhaustion_raises(self):
+        py, nat, tiles = make_pair(atlas_size=2)
+        lod1 = [t for t in tiles if t.lod == 1]
+        nat.request(key_of(lod1[0]))
+        nat.request(key_of(lod1[1]))
+        with pytest.raises(RuntimeError, match="out of indices"):
+            nat.request(key_of(lod1[2]))
+
+    def test_double_release_raises(self):
+        py, nat, tiles = make_pair()
+        with pytest.raises(RuntimeError, match="not present"):
+            nat.release(key_of(tiles[0]))
+
+    def test_lru_eviction_and_revival(self):
+        py, nat, tiles = make_pair(atlas_size=3, attachments=1)
+        lod1 = [t for t in tiles if t.lod == 1]
+        a = nat.request(key_of(lod1[0]))
+        b = nat.request(key_of(lod1[1]))
+        nat.release(key_of(lod1[0]))
+        # revival: re-request before eviction keeps the same slot
+        assert nat.request(key_of(lod1[0])) == a
+        nat.release(key_of(lod1[0]))
+        nat.release(key_of(lod1[1]))
+        # two allocations: first reuses lod1[0]'s slot (released first)
+        c = nat.request(key_of(lod1[2]))
+        assert c == 2  # fresh slot still available first? no: FIFO had [2, a, b]
+        d = nat.request(key_of(lod1[3]))
+        assert d == a  # evicted lod1[0]
+        assert nat.index_of(key_of(lod1[0])) == -1
+
+
+class TestNativeIo:
+    def test_reads_files(self, tmp_path):
+        pool = native.NativeIoPool(threads=2)
+        payloads = {}
+        for i in range(8):
+            p = tmp_path / f"tile{i}.bin"
+            data = np.random.default_rng(i).integers(0, 255, 1000, np.uint8)
+            p.write_bytes(data.tobytes())
+            payloads[pool.submit(str(p), 1000)] = data
+        import time
+
+        got = []
+        for _ in range(200):
+            got += pool.poll()
+            if len(got) == 8:
+                break
+            time.sleep(0.005)
+        assert len(got) == 8
+        for job_id, size, buf in got:
+            assert size == 1000
+            np.testing.assert_array_equal(buf, payloads[job_id])
+
+    def test_missing_file_reports_error(self, tmp_path):
+        pool = native.NativeIoPool(threads=1)
+        job = pool.submit(str(tmp_path / "nope.bin"), 100)
+        import time
+
+        for _ in range(200):
+            done = pool.poll()
+            if done:
+                break
+            time.sleep(0.005)
+        assert done[0][0] == job and done[0][1] is None
