@@ -96,7 +96,7 @@ def make_patch_plan(texture_size: int, mip_count: int, border_size: int) -> Patc
     )
 
 
-def blocks_from_tile(mips: list[np.ndarray], plan: PatchPlan) -> np.ndarray:
+def blocks_from_tile(mips: list[np.ndarray], plan: PatchPlan, channel: int = 0) -> np.ndarray:
     """Host: cut one tile's mip chain into the unified block run for a slot.
 
     Returns (total_blocks_per_slot, 32, 32) in the attachment dtype,
@@ -104,7 +104,7 @@ def blocks_from_tile(mips: list[np.ndarray], plan: PatchPlan) -> np.ndarray:
     """
     out = []
     for m in range(plan.min_mip, plan.max_mip + 1):
-        data = mips[m][..., 0]  # height channel
+        data = mips[m][..., channel]
         g = data.shape[0] // BLOCK
         blocks = (
             data.reshape(g, BLOCK, g, BLOCK).transpose(0, 2, 1, 3).reshape(-1, BLOCK, BLOCK)
@@ -291,3 +291,51 @@ def vertex_values_from_halfgrid(half, morphed_uv, cfg: StaticTerrainConfig):
     wx = tent3(lx)  # (F, G+1, G+1, 3)
     wy = tent3(ly)
     return jnp.sum(win * wy[..., :, None] * wx[..., None, :], axis=(-2, -1))
+
+
+def sample_attachment_vertices(
+    block_arrays,  # list per channel of (N, 32, 32) int32 block arrays
+    tiles,  # RefinementOutput
+    morphed_uv,  # (F, G+1, G+1, 2) from the frame's GridMeshOutput
+    uniforms,
+    cfg: StaticTerrainConfig,
+    plan: PatchPlan,
+    max_value: float,
+):
+    """Sample an arbitrary attachment at the frame's morphed vertex uvs.
+
+    The fragment-stage attachment fetch (attachments.wgsl:12-43) for color /
+    splat / normal-map attachments, using the same gather-free pipeline as
+    heights: per-tile lookup, blocked patch fetch per channel, half-grid
+    resample, static-window interpolation. Returns (F, G+1, G+1, C) f32 in
+    [0, 1].
+    """
+    F = cfg.tile_capacity
+    t_side = tiles.tile_side[:F]
+    t_lod = jnp.maximum(tiles.tile_lod[:F], 0)
+    t_xy = tiles.tile_xy[:F]
+
+    _, flat0, _ = per_tile_lookup(t_side, t_lod, t_xy, uniforms, cfg)
+    entries_flat = uniforms.entries.reshape(-1, 2)
+    e0 = jnp.take(entries_flat, flat0, axis=0)
+    a_idx = e0[:, 0]
+    a_lod = jnp.where(e0[:, 1] < 0, t_lod, e0[:, 1])
+    _, _, window_uv = coords.coordinate_change_lod(
+        t_lod, t_xy, jnp.zeros((F, 2), jnp.float32), a_lod
+    )
+    ids, p0, dp = patch_geometry(a_idx, t_lod, a_lod, window_uv, plan, cfg)
+    valid = (a_idx >= 0).astype(jnp.float32)
+
+    channels = []
+    for block_array in block_arrays:
+        if cfg.pallas_sampling and cfg.grid_size == 16:
+            from bevy_terrain_tpu.ops import pallas_kernels
+
+            geom = jnp.stack([p0[:, 0], p0[:, 1], dp, valid], axis=-1)
+            half = pallas_kernels.fetch_resample(block_array, ids, geom) / max_value
+        else:
+            patch = fetch_patches_xla(block_array, ids)
+            half = halfgrid_resample(patch, p0, dp, cfg) / max_value
+            half = half * valid[:, None, None]
+        channels.append(vertex_values_from_halfgrid(half, morphed_uv, cfg))
+    return jnp.stack(channels, axis=-1)

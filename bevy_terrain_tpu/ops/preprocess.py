@@ -109,12 +109,13 @@ def split_mosaic(
             bands.append(np.einsum("bwc,lw->blc", tmp, mx, optimize=True))
     mosaic = np.concatenate(bands, axis=0)  # (P, P, C)
 
-    # validity: all 4 gather taps nonzero (exact reference semantics)
+    # validity: all 4 gather taps of CHANNEL 0 nonzero — the reference
+    # gathers only the first channel (textureGather(0u, ...), split.wgsl:34)
     x0 = np.clip(np.floor(px).astype(np.int64), 0, W - 1)
     x1 = np.clip(x0 + 1, 0, W - 1)
     y0_ = np.clip(np.floor(py).astype(np.int64), 0, H - 1)
     y1 = np.clip(y0_ + 1, 0, H - 1)
-    nz = (source != 0).all(axis=-1) if C > 1 else (source[..., 0] != 0)
+    nz = source[..., 0] != 0
     valid = (
         nz[y0_][:, x0] & nz[y0_][:, x1] & nz[y1][:, x0] & nz[y1][:, x1]
     )

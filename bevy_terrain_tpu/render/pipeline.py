@@ -89,6 +89,7 @@ class Terrain:
         self.shading_fn = shading_fn
         # shading config: None = vertex buffers only; set via set_shading()
         self._shade_opts = None
+        self._last_uniforms = {}
         self.frame_index = 0
         # gather-free fast path (TPU has no per-lane gather; see
         # ops/patch_sampling.py); falls back to the exact per-vertex path
@@ -234,5 +235,36 @@ class Terrain:
                     attachment_offset=height.config.offset,
                 )
             outputs[view_id] = TerrainFrameOutput(tiles=tiles, mesh=mesh, colors=colors)
+            self._last_uniforms[view_id] = uniforms
         self.frame_index += 1
         return outputs
+
+    def sample_attachment_grid(self, view_id, frame_output: TerrainFrameOutput,
+                               attachment_index: int):
+        """Sample an attachment (albedo, splat, ...) at the frame's morphed
+        vertex uvs — the fragment-stage attachment fetch for custom
+        materials (attachments.wgsl:12-43). Grid path only; returns
+        (F, G+1, G+1, C) f32 in [0, 1]."""
+        from bevy_terrain_tpu.ops.patch_sampling import sample_attachment_vertices
+
+        if not self.use_grid_mesh:
+            raise RuntimeError("sample_attachment_grid requires the grid mesh path")
+        attachment = self.atlas.attachments[attachment_index]
+        return self._sample_grid(
+            tuple(attachment.block_arrays),
+            frame_output.tiles,
+            frame_output.mesh.uvs,
+            self._last_uniforms[view_id],
+            self._static_cfgs[view_id],
+            attachment.patch_plan,
+            attachment.config.format.max_value,
+        )
+
+    @staticmethod
+    @partial(jax.jit, static_argnums=(4, 5, 6))
+    def _sample_grid(block_arrays, tiles, uvs, uniforms, cfg, plan, max_value):
+        from bevy_terrain_tpu.ops.patch_sampling import sample_attachment_vertices
+
+        return sample_attachment_vertices(
+            list(block_arrays), tiles, uvs, uniforms, cfg, plan, max_value
+        )

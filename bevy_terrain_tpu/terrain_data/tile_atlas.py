@@ -116,18 +116,26 @@ class AtlasAttachment:
                 from bevy_terrain_tpu.ops.pallas_kernels import block_format
 
                 self.block_format = block_format()
-                self.block_array: Optional[jax.Array] = jax.device_put(
-                    jnp.zeros(shape, jnp.int32), self.block_format
-                )
+                self.block_arrays: list[jax.Array] = [
+                    jax.device_put(jnp.zeros(shape, jnp.int32), self.block_format)
+                    for _ in range(fmt.channels)
+                ]
             else:
                 self.block_format = None
-                self.block_array = jnp.zeros(shape, jnp.int32)
+                self.block_arrays = [
+                    jnp.zeros(shape, jnp.int32) for _ in range(fmt.channels)
+                ]
         else:
-            self.block_array = None
+            self.block_arrays = None
         # staged uploads: (atlas_index, [mip arrays])
         self._staged: list[tuple[int, list[np.ndarray]]] = []
         self.loading: list[tuple[Future, "AtlasTileAttachment"]] = []
         self.saving: list[Future] = []
+
+    @property
+    def block_array(self):
+        """Channel-0 block array (the height path's operand)."""
+        return self.block_arrays[0] if self.block_arrays else None
 
     # -- IO (reference tile_atlas.rs:77-149) --
 
@@ -197,22 +205,23 @@ class AtlasAttachment:
         for m in range(self.config.mip_level_count):
             vals = np.stack([mips[m] for _, mips in self._staged])
             self.slabs[m] = _scatter_tiles(self.slabs[m], jnp.asarray(indices), jnp.asarray(vals))
-        if self.block_array is not None:
+        if self.block_arrays is not None:
             per_slot = self.patch_plan.total_blocks_per_slot
-            block_vals = np.stack(
-                [blocks_from_tile(mips, self.patch_plan) for _, mips in self._staged]
-            )  # (n, per_slot, 32, 32)
             block_idx = indices[:, None] * per_slot + np.arange(per_slot)[None, :]
             scatter = (
                 _scatter_blocks_formatted(self.block_format)
                 if self.block_format is not None
                 else _scatter_tiles
             )
-            self.block_array = scatter(
-                self.block_array,
-                jnp.asarray(block_idx.reshape(-1)),
-                jnp.asarray(block_vals.reshape(-1, 32, 32).astype(np.int32)),
-            )
+            for c in range(self.config.format.channels):
+                block_vals = np.stack(
+                    [blocks_from_tile(mips, self.patch_plan, c) for _, mips in self._staged]
+                )  # (n, per_slot, 32, 32)
+                self.block_arrays[c] = scatter(
+                    self.block_arrays[c],
+                    jnp.asarray(block_idx.reshape(-1)),
+                    jnp.asarray(block_vals.reshape(-1, 32, 32).astype(np.int32)),
+                )
         n = len(self._staged)
         self._staged.clear()
         return n

@@ -159,3 +159,55 @@ def _uniforms(terrain, view_id):
         tree.entries, tree.view_tile_int, tree.view_tile_frac,
         terrain.view_configs[view_id],
     )
+
+
+class TestAttachmentSampling:
+    def test_albedo_grid_matches_colormap(self, tmp_path):
+        from bevy_terrain_tpu import PreprocessDataset, Preprocessor
+        from bevy_terrain_tpu.formats.tiff import array_to_source
+        from bevy_terrain_tpu.models import albedo_attachment, height_attachment
+        from bevy_terrain_tpu.terrain_data import TileAtlas
+        from PIL import Image
+
+        n = 512
+        uv = (np.arange(n) + 0.5) / n
+        uu, vv = np.meshgrid(uv, uv, indexing="xy")
+        h = np.clip(0.4 + 0.3 * uu, 0.02, 1.0)
+        # channel 0 must stay nonzero: 0 is the reference's nodata sentinel
+        # (textureGather(0u) validity, split.wgsl:34)
+        red = 0.1 + 0.85 * uu
+        rgba = np.stack([red, vv, 0.5 * np.ones_like(uu), np.ones_like(uu)], axis=-1)
+        array_to_source(h, tmp_path / "h.png")
+        Image.fromarray((rgba * 255).astype(np.uint8), "RGBA").save(tmp_path / "a.png")
+
+        config = TerrainConfig(
+            lod_count=2,
+            model=TerrainModel.planar(np.zeros(3), 1000.0, 0.0, 100.0),
+            atlas_size=16, path="t", assets_root=str(tmp_path / "assets"),
+            attachments=(height_attachment(), albedo_attachment()),
+        )
+        atlas = TileAtlas(config)
+        pre = Preprocessor(atlas).clear_attachment(0)
+        pre.preprocess_tile(PreprocessDataset(0, str(tmp_path / "h.png"), lod_range=range(0, 2)))
+        pre.preprocess_tile(PreprocessDataset(1, str(tmp_path / "a.png"), lod_range=range(0, 2)))
+        pre.run(verbose=False)
+
+        t = Terrain(config)
+        t.add_view("cam", TerrainViewConfig(tile_capacity=128), queue_capacity=512)
+        view = np.array([0.0, 120.0, 0.0])
+        for _ in range(30):
+            out = t.update({"cam": view})
+            if not t.atlas.state.to_load and not any(a.loading for a in t.atlas.attachments):
+                break
+            time.sleep(0.01)
+        out = t.update({"cam": view})["cam"]
+        albedo = np.asarray(t.sample_attachment_grid("cam", out, 1))
+        mask = np.asarray(out.mesh.tile_mask)
+        pos = np.asarray(out.mesh.positions)[mask]
+        a = albedo[mask]
+        u = pos[..., 0] / 1000.0 + 0.5
+        v = pos[..., 2] / 1000.0 + 0.5
+        err_r = np.abs(a[..., 0] - (0.1 + 0.85 * u))
+        err_g = np.abs(a[..., 1] - v)
+        assert np.median(err_r) < 0.02 and np.median(err_g) < 0.02
+        assert np.median(np.abs(a[..., 2] - 0.5)) < 0.02
