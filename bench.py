@@ -47,7 +47,7 @@ def main() -> None:
         tree_size=vc.tree_size,
         grid_size=vc.grid_size,
         refinement_count=vc.refinement_count,
-        queue_capacity=16384,
+        queue_capacity=8192,
         tile_capacity=vc.tile_capacity,
         origin_lod=vc.origin_lod,
         pallas_sampling=on_tpu,

@@ -45,39 +45,38 @@ def block_format(device=None):
 HG = 32  # half-grid intervals (grid_size 16); kernel is specialized for this
 K = HG + 1  # 33 half-grid points
 P = 64  # assembled patch extent
+TILES_PER_STEP = 8  # amortizes the ~0.5us per-grid-step pipeline overhead
 
 # Scalar-prefetch operands live in SMEM; grids beyond ~1024 tiles overflow
 # it (observed compile failure at 2048 on v5e), so larger frames run the
-# kernel over serial 1024-tile chunks via lax.map.
+# kernel over serial 1024-tile chunks.
 CHUNK = 1024
 
 
-def _kernel(ids_ref, geom_ref, tl_ref, tr_ref, bl_ref, br_ref, out_ref):
-    # geom: (1, 1, 4) f32 = p0x, p0y, dp, valid
-    p0x = geom_ref[0, 0, 0]
-    p0y = geom_ref[0, 0, 1]
-    dp = geom_ref[0, 0, 2]
-    valid = geom_ref[0, 0, 3]
-
-    patch = jnp.concatenate(
-        [
-            jnp.concatenate([tl_ref[0], tr_ref[0]], axis=1),
-            jnp.concatenate([bl_ref[0], br_ref[0]], axis=1),
-        ],
-        axis=0,
-    ).astype(jnp.float32)  # (64, 64); blocks are stored i32 (layout-native)
-
+def _kernel(ids_ref, geom_ref, *refs):
+    out_ref = refs[-1]
     k = jax.lax.broadcasted_iota(jnp.int32, (K, P), 0).astype(jnp.float32)
     r = jax.lax.broadcasted_iota(jnp.int32, (K, P), 1).astype(jnp.float32)
-
-    px = jnp.clip(p0x + k * dp, 0.0, P - 1.0)
-    py = jnp.clip(p0y + k * dp, 0.0, P - 1.0)
-    wx = jnp.maximum(0.0, 1.0 - jnp.abs(px - r))  # (K, P)
-    wy = jnp.maximum(0.0, 1.0 - jnp.abs(py - r))
-
-    rows = jnp.dot(wy, patch, preferred_element_type=jnp.float32)  # (K, P)
-    half = jnp.dot(rows, wx.T, preferred_element_type=jnp.float32)  # (K, K)
-    out_ref[0] = half * valid
+    for t in range(TILES_PER_STEP):
+        tl, tr, bl, br = refs[4 * t : 4 * t + 4]
+        patch = jnp.concatenate(
+            [
+                jnp.concatenate([tl[0], tr[0]], axis=1),
+                jnp.concatenate([bl[0], br[0]], axis=1),
+            ],
+            axis=0,
+        ).astype(jnp.float32)  # (64, 64); blocks are stored i32 (layout-native)
+        p0x = geom_ref[0, t, 0]
+        p0y = geom_ref[0, t, 1]
+        dp = geom_ref[0, t, 2]
+        valid = geom_ref[0, t, 3]
+        px = jnp.clip(p0x + k * dp, 0.0, P - 1.0)
+        py = jnp.clip(p0y + k * dp, 0.0, P - 1.0)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(px - r))  # (K, P)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(py - r))
+        rows = jnp.dot(wy, patch, preferred_element_type=jnp.float32)  # (K, P)
+        half = jnp.dot(rows, wx.T, preferred_element_type=jnp.float32)  # (K, K)
+        out_ref[t] = half * valid
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -115,33 +114,38 @@ def fetch_resample(block_array, ids, geom, interpret: bool = False):
 
 def _fetch_resample_chunk(block_array, ids, geom, interpret: bool = False):
     F = ids.shape[0]
+    T = TILES_PER_STEP
+    if F % T:
+        pad = (-F) % T
+        ids = jnp.pad(ids, ((0, pad), (0, 0)))
+        geom = jnp.pad(geom, ((0, pad), (0, 0)))
+    Fp = ids.shape[0]
+    steps = Fp // T
 
-    def spec(q):
+    def spec(t, q):
         return pl.BlockSpec(
             (1, 32, 32),
-            lambda i, ids_ref: (ids_ref[i, q], 0, 0),
+            lambda i, ids_ref, t=t, q=q: (ids_ref[i * T + t, q], 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(F,),
+        grid=(steps,),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, 4), lambda i, ids_ref: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, T, 4), lambda i, ids_ref: (i, 0, 0), memory_space=pltpu.VMEM
             ),
-            spec(0),
-            spec(1),
-            spec(2),
-            spec(3),
-        ],
+        ]
+        + [spec(t, q) for t in range(T) for q in range(4)],
         out_specs=pl.BlockSpec(
-            (1, K, K), lambda i, ids_ref: (i, 0, 0), memory_space=pltpu.VMEM
+            (T, K, K), lambda i, ids_ref: (i, 0, 0), memory_space=pltpu.VMEM
         ),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((F, K, K), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Fp, K, K), jnp.float32),
         interpret=interpret,
-    )(ids, geom.reshape(F, 1, 4), block_array, block_array, block_array, block_array)
+    )(ids, geom.reshape(steps, T, 4), *([block_array] * (4 * T)))
+    return out[:F] if Fp != F else out
