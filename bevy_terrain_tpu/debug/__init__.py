@@ -42,6 +42,8 @@ class DebugTerrain:
     def debug_view(self) -> Optional[str]:
         if self.show_geometry_lod:
             return "geometry_lod"
+        if self.show_tile_tree:
+            return "tile_tree"
         if self.show_uv:
             return "uv"
         if self.show_normals:

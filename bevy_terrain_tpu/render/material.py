@@ -191,10 +191,37 @@ def show_normals(ctx: ShadeContext):
     )
 
 
+def show_tile_tree(ctx: ShadeContext):
+    """Tile-tree debug view (debug.wgsl:95-109): checkerboard of the
+    best-loaded lookup + window outlines from the tree uv."""
+    from bevy_terrain_tpu.ops import coords
+
+    cfg = ctx.cfg
+    F, G = cfg.tile_capacity, cfg.grid_size
+    side = jnp.broadcast_to(ctx.tiles.tile_side[:F, None, None], (F, G + 1, G + 1))
+    lod = jnp.broadcast_to(
+        jnp.maximum(ctx.tiles.tile_lod[:F, None, None], 0), (F, G + 1, G + 1)
+    )
+    xy = jnp.broadcast_to(ctx.tiles.tile_xy[:F, None, None, :], (F, G + 1, G + 1, 2))
+    uv = ctx.mesh.uvs
+    a_idx, a_lod, a_xy, a_uv = coords.lookup_best(
+        ctx.uniforms.entries, ctx.uniforms.origins, side, lod, xy, uv, cfg
+    )
+    color = index_color(jnp.maximum(a_lod, 0))
+    dark = ((a_xy[..., 0] + a_xy[..., 1]) % 2) == 0
+    color = jnp.where(dark[..., None], color * 0.5, color)
+    # window outlines (debug.wgsl:21-25) on the best lookup's uv
+    thickness = 0.015
+    inside = jnp.all((a_uv > thickness) & (a_uv < 1.0 - thickness), axis=-1)
+    grey = jnp.full_like(color, 0.1)
+    return jnp.where(inside[..., None], color, grey)
+
+
 DEBUG_VIEWS = {
     "geometry_lod": show_geometry_lod,
     "uv": show_uv,
     "normals": show_normals,
+    "tile_tree": show_tile_tree,
 }
 
 

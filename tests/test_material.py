@@ -211,3 +211,15 @@ class TestAttachmentSampling:
         err_g = np.abs(a[..., 1] - v)
         assert np.median(err_r) < 0.02 and np.median(err_g) < 0.02
         assert np.median(np.abs(a[..., 2] - 0.5)) < 0.02
+
+
+class TestTileTreeView:
+    def test_show_tile_tree(self, shaded_terrain):
+        t, view, _ = shaded_terrain
+        t.set_shading(debug_view="tile_tree")
+        out = t.update({"cam": view})["cam"]
+        c = np.asarray(out.colors)[np.asarray(out.mesh.tile_mask)]
+        # outlines produce the grey 0.1 value somewhere; interiors colored
+        assert (np.abs(c - 0.1) < 1e-3).any()
+        assert c.max() > 0.5
+        t.set_shading(lighting=True)

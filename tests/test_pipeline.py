@@ -109,3 +109,84 @@ class TestTerrainPipeline:
         terrain.remove_view("shadow")
         for st in terrain.atlas.state.tile_states.values():
             assert st.requests <= 1
+
+
+class TestSphericalStreaming:
+    def test_sphere_streams_and_renders(self, tmp_path):
+        """End-to-end cube-sphere streaming (SURVEY.md build plan step 6)."""
+        from bevy_terrain_tpu import Preprocessor, SphericalDataset
+        from bevy_terrain_tpu.formats.tiff import array_to_source
+        from bevy_terrain_tpu.math.coordinate import local_position_from_side_uv
+        from bevy_terrain_tpu.models import height_attachment
+        from bevy_terrain_tpu.terrain_data import TileAtlas
+
+        def planet(p):
+            return np.clip(0.5 + 0.3 * np.sin(3 * p[..., 0]) * np.cos(2 * p[..., 2]), 0.05, 1.0)
+
+        paths = []
+        n = 256
+        uv = (np.arange(n) + 0.5) / n
+        uu, vv = np.meshgrid(uv, uv, indexing="xy")
+        grid_uv = np.stack([uu, vv], axis=-1)
+        for side in range(6):
+            p = local_position_from_side_uv(side, grid_uv)
+            path = tmp_path / f"f{side}.png"
+            array_to_source(planet(p), path)
+            paths.append(str(path))
+
+        R = 1000.0
+        config = TerrainConfig(
+            lod_count=3,
+            model=TerrainModel.sphere(np.zeros(3), R, 0.0, 50.0),
+            atlas_size=256,
+            path="sph",
+            assets_root=str(tmp_path / "assets"),
+            attachments=(height_attachment(texture_size=128, mips=3),),
+        )
+        atlas = TileAtlas(config)
+        Preprocessor(atlas).clear_attachment(0).preprocess_spherical(
+            SphericalDataset(attachment_index=0, paths=paths, lod_range=range(0, 3))
+        ).run(verbose=False)
+
+        terrain = Terrain(config)
+        terrain.add_view("cam", TerrainViewConfig(tile_capacity=4096), queue_capacity=16384)
+        view = np.array([0.0, 0.0, 1.3 * R])
+        for _ in range(40):
+            out = terrain.update({"cam": view})
+            if not terrain.atlas.state.to_load and not any(
+                a.loading for a in terrain.atlas.attachments
+            ):
+                break
+            time.sleep(0.01)
+        out = terrain.update({"cam": view})["cam"]
+        assert out.tile_count > 6
+        mask = np.asarray(out.mesh.tile_mask)
+        pos = np.asarray(out.mesh.positions)[mask]
+        radii = np.linalg.norm(pos.reshape(-1, 3), axis=-1)
+        # every vertex sits between R and R+max_height (heights streamed in)
+        assert radii.min() > R - 1.0 and radii.max() < R + 51.0
+        # heights vary (not the fallback zero sphere)
+        assert radii.std() > 1.0
+        # and match the analytic field where sampled
+        unit = pos.reshape(-1, 3) / radii[:, None]
+        expect = R + planet(unit) * 50.0
+        err = np.abs(radii - expect)
+        assert np.median(err) < 2.0, float(np.median(err))
+
+
+class TestMultiViewSharding:
+    def test_multi_view_frame_step_on_virtual_mesh(self):
+        import jax
+
+        from bevy_terrain_tpu.parallel import multi_view_frame_step
+        import __graft_entry__ as graft
+
+        cfg, uniforms, slab = graft._build(
+            tile_capacity=128, queue_capacity=512, lod_count=4, grid_size=4
+        )
+        n = min(8, len(jax.devices()))
+        out = multi_view_frame_step(jax.devices()[:n], cfg, uniforms, slab)
+        positions, heights, counts = jax.block_until_ready(out)
+        assert positions.shape[0] == n
+        counts = np.asarray(counts)
+        assert (counts == counts[0]).all() and counts[0] > 0
