@@ -22,7 +22,7 @@ from __future__ import annotations
 import dataclasses
 import struct
 from pathlib import Path
-from typing import Iterable, List
+from typing import List
 
 from bevy_terrain_tpu.math.coordinate import TileCoordinate
 

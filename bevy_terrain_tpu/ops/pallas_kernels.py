@@ -45,7 +45,9 @@ def block_format(device=None):
 HG = 32  # half-grid intervals (grid_size 16); kernel is specialized for this
 K = HG + 1  # 33 half-grid points
 P = 64  # assembled patch extent
-TILES_PER_STEP = 8  # amortizes the ~0.5us per-grid-step pipeline overhead
+# 8 tiles/step amortizes the ~0.5us per-grid-step pipeline overhead; 16
+# (65 block refs) sends Mosaic compile time unbounded on this stack
+TILES_PER_STEP = 8
 
 # Scalar-prefetch operands live in SMEM; grids beyond ~1024 tiles overflow
 # it (observed compile failure at 2048 on v5e), so larger frames run the

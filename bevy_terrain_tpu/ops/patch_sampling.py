@@ -42,7 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bevy_terrain_tpu.ops import coords
-from bevy_terrain_tpu.ops.params import FrameUniforms, StaticTerrainConfig
+from bevy_terrain_tpu.ops.params import StaticTerrainConfig
 
 BLOCK = 32
 

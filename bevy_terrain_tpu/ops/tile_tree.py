@@ -13,14 +13,10 @@ distances and the request mask in f32 with the same closest-point rule.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bevy_terrain_tpu.math.coordinate import (
-    Coordinate,
-    project_uv_to_side,
-)
+from bevy_terrain_tpu.math.coordinate import Coordinate
 from bevy_terrain_tpu.ops import coords
 from bevy_terrain_tpu.ops.params import FrameUniforms, StaticTerrainConfig
 

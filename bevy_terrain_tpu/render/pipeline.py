@@ -22,7 +22,6 @@ from functools import partial
 from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from bevy_terrain_tpu.config import TerrainConfig, TerrainViewConfig
