@@ -137,6 +137,136 @@ class FrameUniforms:
     view_tile_frac: jax.Array  # (sides, lods, 2) f32
 
 
+def pack_frame_uniforms(
+    model,
+    view_world_position,
+    approx,
+    origins: np.ndarray,
+    entries: np.ndarray,
+    view_tile_int: np.ndarray,
+    view_tile_frac: np.ndarray,
+    view_config,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pack all per-frame uniforms into two host blobs (one f32, one i32).
+
+    Each device_put is a latency-bound host->device transfer; the ~20 small
+    arrays of FrameUniforms cost tens of ms per frame through a tunneled
+    TPU. Two blobs -> two transfers; :func:`unpack_frame_uniforms` rebuilds
+    the pytree inside the jitted step for free.
+    """
+    scale = model.scale
+    m = np.asarray(model.world_from_local, np.float64)
+    normal_matrix = np.linalg.inv(m[:3, :3]).T
+    scalars = np.array(
+        [
+            approx.approximate_height,
+            model.min_height,
+            model.max_height,
+            scale,
+            view_config.morph_distance * scale,
+            view_config.blend_distance * scale,
+            view_config.load_distance * scale,
+            view_config.morph_distance * scale * (1.0 + view_config.subdivision_tolerance),
+            view_config.precision_threshold_distance * scale,
+            view_config.morph_range,
+            view_config.blend_range,
+        ],
+        np.float32,
+    )
+    f32 = np.concatenate(
+        [
+            np.asarray(view_world_position, np.float32).ravel(),  # 3
+            scalars,  # 11
+            np.asarray(m[:3, :4], np.float32).ravel(),  # 12
+            np.asarray(normal_matrix, np.float32).ravel(),  # 9
+            np.asarray(approx.origin_uv, np.float32).ravel(),  # 12
+            np.asarray(approx.c, np.float32).ravel(),  # 18
+            np.asarray(approx.c_s, np.float32).ravel(),
+            np.asarray(approx.c_t, np.float32).ravel(),
+            np.asarray(approx.c_ss, np.float32).ravel(),
+            np.asarray(approx.c_st, np.float32).ravel(),
+            np.asarray(approx.c_tt, np.float32).ravel(),
+            np.asarray(view_tile_frac, np.float32).ravel(),
+        ]
+    )
+    i32 = np.concatenate(
+        [
+            np.asarray(approx.origin_xy, np.int32).ravel(),  # 12
+            np.asarray(origins, np.int32).ravel(),
+            np.asarray(view_tile_int, np.int32).ravel(),
+            np.asarray(entries, np.int32).ravel(),
+        ]
+    )
+    return f32, i32
+
+
+def unpack_frame_uniforms(f32, i32, side_count: int, lod_count: int,
+                          tree_size: int) -> FrameUniforms:
+    """Rebuild FrameUniforms from the packed blobs (jit-traceable slicing)."""
+    o = 0
+
+    def take_f(n, shape=None):
+        nonlocal o
+        v = jax.lax.dynamic_slice_in_dim(f32, o, n)
+        o += n
+        return v.reshape(shape) if shape else v
+
+    view_world_position = take_f(3)
+    s = take_f(11)
+    world_from_local = take_f(12, (3, 4))
+    normal_matrix = take_f(9, (3, 3))
+    origin_uv = take_f(12, (6, 2))
+    c = take_f(18, (6, 3))
+    c_s = take_f(18, (6, 3))
+    c_t = take_f(18, (6, 3))
+    c_ss = take_f(18, (6, 3))
+    c_st = take_f(18, (6, 3))
+    c_tt = take_f(18, (6, 3))
+    SL2 = side_count * lod_count * 2
+    view_tile_frac = take_f(SL2, (side_count, lod_count, 2))
+
+    p = 0
+
+    def take_i(n, shape):
+        nonlocal p
+        v = jax.lax.dynamic_slice_in_dim(i32, p, n)
+        p += n
+        return v.reshape(shape)
+
+    origin_xy = take_i(12, (6, 2))
+    origins = take_i(SL2, (side_count, lod_count, 2))
+    view_tile_int = take_i(SL2, (side_count, lod_count, 2))
+    entries = take_i(
+        side_count * lod_count * tree_size * tree_size * 2,
+        (side_count, lod_count, tree_size, tree_size, 2),
+    )
+
+    return FrameUniforms(
+        view_world_position=view_world_position,
+        approximate_height=s[0],
+        world_from_local=world_from_local,
+        normal_matrix=normal_matrix,
+        min_height=s[1],
+        max_height=s[2],
+        terrain_scale=s[3],
+        morph_distance=s[4],
+        blend_distance=s[5],
+        load_distance=s[6],
+        subdivision_distance=s[7],
+        precision_threshold_distance=s[8],
+        morph_range=s[9],
+        blend_range=s[10],
+        taylor=TaylorParams(
+            origin_xy=origin_xy, origin_uv=origin_uv, c=c, c_s=c_s, c_t=c_t,
+            c_ss=c_ss, c_st=c_st, c_tt=c_tt,
+        ),
+        origins=origins,
+        entries=entries,
+        view_tile_int=view_tile_int,
+        view_tile_frac=view_tile_frac,
+    )
+
+
 def make_frame_uniforms(
     model,
     view_world_position,
