@@ -13,5 +13,6 @@ dimension inside a view — shardable over an ICI mesh:
 """
 
 from bevy_terrain_tpu.parallel.multi_view import multi_view_frame_step
+from bevy_terrain_tpu.parallel.sharded_atlas import fetch_patches_sharded, shard_blocks
 
-__all__ = ["multi_view_frame_step"]
+__all__ = ["fetch_patches_sharded", "multi_view_frame_step", "shard_blocks"]

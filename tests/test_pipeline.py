@@ -190,3 +190,26 @@ class TestMultiViewSharding:
         assert positions.shape[0] == n
         counts = np.asarray(counts)
         assert (counts == counts[0]).all() and counts[0] > 0
+
+
+class TestShardedAtlas:
+    def test_sharded_fetch_matches_local(self):
+        import jax
+        from jax.sharding import Mesh
+
+        from bevy_terrain_tpu.ops.patch_sampling import fetch_patches_xla
+        from bevy_terrain_tpu.parallel import fetch_patches_sharded, shard_blocks
+
+        n = min(8, len(jax.devices()))
+        mesh = Mesh(np.array(jax.devices()[:n]), ("atlas",))
+        rng = np.random.default_rng(0)
+        N, F = 1024, 256
+        blocks = rng.integers(0, 65535, (N, 32, 32)).astype(np.int32)
+        ids = rng.integers(0, N, (F, 4)).astype(np.int32)
+
+        import jax.numpy as jnp
+
+        sharded = shard_blocks(mesh, jnp.asarray(blocks))
+        got = np.asarray(fetch_patches_sharded(mesh, sharded, jnp.asarray(ids)))
+        want = np.asarray(fetch_patches_xla(jnp.asarray(blocks), jnp.asarray(ids)))
+        np.testing.assert_array_equal(got, want)
