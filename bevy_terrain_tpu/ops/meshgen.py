@@ -159,16 +159,19 @@ def generate_mesh_grid(
         morph_world = jnp.where(high_precision[..., None], hp_world, morph_world)
         morph_normal = jnp.where(high_precision[..., None], normal, morph_normal)
 
-    # --- heights: interpolate the half-grid at the morphed uv, blend the
-    # smoothed (coarser-lod) sample by the per-vertex ratio ---
+    # --- heights: blend the smoothed (coarser-lod) half-grid in by the
+    # tile-center ratio, then interpolate once at the morphed uv. The
+    # crossfade ratio varies by <= ~0.2 within one tile (the blend zone is
+    # many tiles wide), so a per-tile ratio halves the window-interpolation
+    # work for an invisible quantization of the fade ---
     morphed_grid = morphed_uv.reshape(F, G + 1, G + 1, 2)
-    h_fine = ps.vertex_values_from_halfgrid(half, morphed_grid, cfg).reshape(F, NV)
     blend_lod, blend_ratio = coords.compute_blend(view_distance, uniforms, cfg)
     if cfg.blend:
-        h_coarse = ps.vertex_values_from_halfgrid(half_coarse, morphed_grid, cfg)
-        h_norm = h_fine + (h_coarse.reshape(F, NV) - h_fine) * blend_ratio
+        center_ratio = blend_ratio.reshape(F, G + 1, G + 1)[:, G // 2, G // 2]
+        h_mix = half + (half_coarse - half) * center_ratio[:, None, None]
     else:
-        h_norm = h_fine
+        h_mix = half
+    h_norm = ps.vertex_values_from_halfgrid(h_mix, morphed_grid, cfg).reshape(F, NV)
     height = uniforms.min_height + (uniforms.max_height - uniforms.min_height) * h_norm
 
     positions = morph_world + height[..., None] * morph_normal
