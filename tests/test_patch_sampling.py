@@ -178,3 +178,65 @@ class TestGridMeshPath:
         # smooth field (100 m height range)
         assert np.median(err) < 0.2, float(np.median(err))
         assert np.percentile(err, 99) < 1.0, float(np.percentile(err, 99))
+
+
+class TestSeamContinuity:
+    def test_same_lod_edges_match_exactly(self, big_terrain):
+        """Adjacent same-lod tiles must produce identical vertex positions
+        along their shared edge (the no-cracks guarantee the reference's
+        morph design provides, terrain_view.rs:34-37)."""
+        terrain, _, out = big_terrain
+        n = out.tile_count
+        lod = np.asarray(out.tiles.tile_lod[:n])
+        xy = np.asarray(out.tiles.tile_xy[:n])
+        pos = np.asarray(out.mesh.positions[:n])
+
+        index = {(int(l), int(x), int(y)): i for i, (l, (x, y)) in enumerate(zip(lod, xy))}
+        pairs = 0
+        for (l, x, y), i in index.items():
+            j = index.get((l, x + 1, y))
+            if j is None:
+                continue
+            left_edge = pos[i][:, -1]  # u = 1 column of tile i
+            right_edge = pos[j][:, 0]  # u = 0 column of tile j
+            d = np.abs(left_edge - right_edge)
+            # x/z must match exactly (same lattice); heights may differ by
+            # f32 sub-texel sampling noise (each tile samples the shared
+            # edge through its own atlas window) — bound it at 0.1% of the
+            # height range, far below a visible crack
+            np.testing.assert_array_equal(d[:, 0], 0.0)
+            np.testing.assert_array_equal(d[:, 2], 0.0)
+            assert d[:, 1].max() < 0.1, float(d[:, 1].max())
+            pairs += 1
+        assert pairs > 0
+
+    def test_cross_lod_edges_close(self, big_terrain):
+        """At a coarse-fine boundary the fine tile's even edge vertices sit
+        on the coarse tile's edge (morph collapses the odd ones); heights may
+        differ by the data-lod blend but positions must be near-continuous."""
+        terrain, _, out = big_terrain
+        n = out.tile_count
+        lod = np.asarray(out.tiles.tile_lod[:n])
+        xy = np.asarray(out.tiles.tile_xy[:n])
+        pos = np.asarray(out.mesh.positions[:n])
+        index = {(int(l), int(x), int(y)): i for i, (l, (x, y)) in enumerate(zip(lod, xy))}
+        checked = 0
+        for (l, x, y), i in index.items():
+            # coarse neighbour to the right: tile at lod l-1 covering x+1
+            j = index.get((l - 1, (x + 1) >> 1, y >> 1))
+            if j is None or (x + 1) % 2 != 0:
+                continue
+            fine_edge = pos[i][:, -1]  # 17 vertices
+            coarse_edge = pos[j][:, 0]  # 17 vertices over twice the span
+            # fine tile covers half the coarse edge: its even vertices should
+            # approach coarse vertices (sub-half-grid deviation allowed: the
+            # blend/morph transition is mid-fade at such boundaries)
+            half = coarse_edge[: 9] if (y % 2 == 0) else coarse_edge[8:]
+            fine_even = fine_edge[::2]
+            err = np.linalg.norm(fine_even - half, axis=-1)
+            # tile size at this lod bounds the acceptable deviation
+            tile_size = 1000.0 / (1 << int(l))
+            assert np.median(err) < 0.15 * tile_size, (l, x, y, float(np.median(err)))
+            checked += 1
+        if checked == 0:
+            pytest.skip("no cross-lod right-edge boundaries in this frame")
