@@ -108,6 +108,54 @@ def main() -> None:
         f"verts/tile={cfg.vertices_per_tile} frame={median_us:.1f}us",
         file=sys.stderr,
     )
+
+    # secondary diagnostic: preprocess throughput (BASELINE.md target:
+    # >10x the CPU reference; the reference publishes no number, so we
+    # report absolute tiles/s on a synthetic 1024^2 source, 85 tiles)
+    try:
+        import tempfile
+        import time as _time
+        from pathlib import Path
+
+        from bevy_terrain_tpu.config import AttachmentConfig, TerrainConfig
+        from bevy_terrain_tpu.formats.tiff import array_to_source
+        from bevy_terrain_tpu.preprocess import PreprocessDataset, Preprocessor
+        from bevy_terrain_tpu.terrain_data import TileAtlas
+        from bevy_terrain_tpu.utils.synthetic import default_height_fn
+
+        tmp = Path(tempfile.mkdtemp(prefix="bench_pp_"))
+        n = 1024
+        uv01 = (np.arange(n) + 0.5) / n
+        uu, vv = np.meshgrid(uv01, uv01, indexing="xy")
+        array_to_source(default_height_fn(uu, vv), tmp / "src.png")
+        pp_config = TerrainConfig(
+            lod_count=4,
+            model=model,
+            atlas_size=256,
+            path="bench_pp",
+            assets_root=str(tmp / "assets"),
+            attachments=(
+                AttachmentConfig(
+                    name="height", texture_size=TEXTURE_SIZE, border_size=BORDER,
+                    mip_level_count=4,
+                ),
+            ),
+        )
+        pp_atlas = TileAtlas(pp_config)
+        t0 = _time.time()
+        Preprocessor(pp_atlas).clear_attachment(0).preprocess_tile(
+            PreprocessDataset(attachment_index=0, path=str(tmp / "src.png"),
+                              lod_range=range(0, 4))
+        ).run(verbose=False)
+        dt = _time.time() - t0
+        n_tiles = len(pp_atlas.state.existing_tiles)
+        print(
+            f"# preprocess: {n_tiles} tiles ({TEXTURE_SIZE}^2 R16, 4 lods) "
+            f"in {dt:.2f}s = {n_tiles / dt:.1f} tiles/s",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # diagnostics must never break the metric
+        print(f"# preprocess diagnostic failed: {exc}", file=sys.stderr)
     print(
         json.dumps(
             {

@@ -143,7 +143,12 @@ class Preprocessor:
         self._drain_saves()
         self.atlas.save_tile_config()
         if verbose:
-            print(f"Preprocessing took {time.time() - self.start_time:.2f}s")
+            import sys
+
+            print(
+                f"Preprocessing took {time.time() - self.start_time:.2f}s",
+                file=sys.stderr,
+            )
         self._jobs.clear()
 
     # -- phases (reference preprocessor.rs:234-288) --

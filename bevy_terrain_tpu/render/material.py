@@ -162,18 +162,37 @@ def lambert_lighting(colors, normals, light_direction=(0.4, 0.8, 0.45)):
 
 
 def show_geometry_lod(ctx: ShadeContext):
-    """LOD checkerboard debug view (debug.wgsl:27-34, 56-94 core)."""
-    F = ctx.cfg.tile_capacity
+    """LOD checkerboard debug view with the reference's two red/green
+    invariant checks (debug.wgsl:27-34, 56-94)."""
+    cfg = ctx.cfg
+    F, G = cfg.tile_capacity, cfg.grid_size
     lod = jnp.maximum(ctx.tiles.tile_lod[:F], 0)
     xy = ctx.tiles.tile_xy[:F]
     color = index_color(lod)
     dark = ((xy[:, 0] + xy[:, 1]) % 2) == 0
     color = jnp.where(dark[:, None], color * 0.5, color)
-    if ctx.cfg.spherical:
+    if cfg.spherical:
         side_c = index_color(ctx.tiles.tile_side[:F])
         color = color + (side_c - color) * 0.3
-    G = ctx.cfg.grid_size
-    return jnp.broadcast_to(color[:, None, None, :], (F, G + 1, G + 1, 4))
+    colors = jnp.broadcast_to(color[:, None, None, :], (F, G + 1, G + 1, 4))
+
+    # invariant overlays (debug.wgsl:80-92): per-vertex morph target lod
+    view_distance = jnp.linalg.norm(
+        ctx.mesh.positions - ctx.uniforms.view_world_position, axis=-1
+    )
+    target_lod = jnp.log2(
+        2.0 * ctx.uniforms.morph_distance / jnp.maximum(view_distance, 1e-6)
+    )
+    lod_f = lod.astype(jnp.float32)[:, None, None]
+    # "same tile overlaps two morph zones -> increase morph distance" (red)
+    red = jnp.maximum(target_lod, 0.0) < lod_f - 1.0 + ctx.uniforms.morph_range
+    # "tile has insufficient LOD -> increase morph tolerance" (green)
+    green = jnp.floor(target_lod) > lod_f
+    red_c = jnp.asarray(np.array([1, 0, 0, 1], np.float32))
+    green_c = jnp.asarray(np.array([0, 1, 0, 1], np.float32))
+    colors = jnp.where(red[..., None], red_c, colors)
+    colors = jnp.where(green[..., None], green_c, colors)
+    return colors
 
 
 def show_uv(ctx: ShadeContext):

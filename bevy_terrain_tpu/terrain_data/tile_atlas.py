@@ -520,8 +520,11 @@ class TileAtlas:
 
     @staticmethod
     def load_tile_config(path: str, assets_root: str = "assets") -> set:
+        import sys
+
         p = Path(assets_root) / path / "config.tc"
         if p.exists():
             return set(TC.load_file(p).tiles)
-        print("Tile config not found.")
+        # stderr: bench.py's stdout must stay a single JSON line
+        print("Tile config not found.", file=sys.stderr)
         return set()

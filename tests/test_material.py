@@ -223,3 +223,17 @@ class TestTileTreeView:
         assert (np.abs(c - 0.1) < 1e-3).any()
         assert c.max() > 0.5
         t.set_shading(lighting=True)
+
+
+class TestMorphInvariantOverlay:
+    def test_healthy_config_shows_no_red_green(self, shaded_terrain):
+        """With the reference defaults the two morph invariants hold, so the
+        geometry_lod view must not flag any vertex (debug.wgsl:80-92)."""
+        t, view, _ = shaded_terrain
+        t.set_shading(debug_view="geometry_lod")
+        out = t.update({"cam": view})["cam"]
+        c = np.asarray(out.colors)[np.asarray(out.mesh.tile_mask)]
+        pure_red = (c[..., 0] == 1.0) & (c[..., 1] == 0.0) & (c[..., 2] == 0.0)
+        pure_green = (c[..., 0] == 0.0) & (c[..., 1] == 1.0) & (c[..., 2] == 0.0)
+        assert pure_red.mean() < 0.01 and pure_green.mean() < 0.01
+        t.set_shading(lighting=True)
