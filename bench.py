@@ -23,8 +23,18 @@ import numpy as np
 
 def main() -> None:
     from functools import partial
+    from pathlib import Path
 
     import jax
+
+    # Persistent compilation cache: TPU compiles for the 8k^2 frame step run
+    # multi-minute cold; cache them on disk so repeated driver runs (and any
+    # timeout-retry) skip straight to measurement.
+    jax.config.update(
+        "jax_compilation_cache_dir", str(Path(__file__).resolve().parent / ".jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from bevy_terrain_tpu.config import TerrainViewConfig
