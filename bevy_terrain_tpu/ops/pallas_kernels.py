@@ -1,18 +1,20 @@
 """Hand-written Pallas TPU kernels for the frame hot path.
 
 :func:`fetch_resample` fuses the per-tile patch fetch with the half-grid
-tent resample (see ops/patch_sampling.py for the algorithm): one grid step
-per tile DMAs the four (32, 32) atlas blocks of the tile's window straight
-into VMEM (double-buffered across grid steps by the Pallas pipeline via
-scalar-prefetched block indices), assembles the 64x64 patch, builds the
-tent-weight matrices on the VPU, and runs the two small matmuls on the MXU
-— the 33x33 half-grid leaves the kernel, the patch never touches HBM.
+tent resample (see ops/patch_sampling.py for the algorithm): each grid step
+DMAs the four atlas blocks of several tiles' windows straight into VMEM
+(double-buffered across grid steps by the Pallas pipeline via
+scalar-prefetched block indices), assembles the 64x64 patches, builds the
+tent-weight matrices on the VPU, and runs two small matmuls per tile on the
+MXU — the 33x33 half-grid leaves the kernel, the patch never touches HBM.
+Blocks are stored packed: a (32, 32) texel block lives as one dense
+(8, 128) i32-native tile, which quarters the DMA traffic versus the
+lane-padded T(8,128) layout XLA gives a (32, 32) minor shape.
 
 This replaces four XLA ``take`` ops whose per-slice overhead (~320 ns)
-dominated the frame (measured 10.5 ms at 8192 tiles; the kernel halves
-that). Known headroom: batching several tiles per grid step would amortize
-the ~0.5 us per-step pipeline overhead, but Mosaic compile time explodes
-for the many-ref variant on this stack — revisit.
+dominated the frame (measured 10.5 ms at 8192 tiles). With packed blocks
+the kernel runs 8192 tiles in 1.12 ms (was 2.0 ms unpacked) — now bounded
+by the VPU unpack (12 lane-rolls + concats per tile) rather than DMA.
 """
 
 from __future__ import annotations
@@ -39,14 +41,16 @@ def block_format(device=None):
 
     device = device or _jax.devices()[0]
     return Format(
-        Layout(major_to_minor=(0, 1, 2)), SingleDeviceSharding(device)
+        Layout(major_to_minor=(0, 1, 2, 3)), SingleDeviceSharding(device)
     )
 
 HG = 32  # half-grid intervals (grid_size 16); kernel is specialized for this
 K = HG + 1  # 33 half-grid points
 P = 64  # assembled patch extent
-# 8 tiles/step amortizes the ~0.5us per-grid-step pipeline overhead; 16
-# (65 block refs) sends Mosaic compile time unbounded on this stack
+# 8 tiles/step is the measured optimum for the packed kernel (8192 tiles:
+# 2 -> 2001us, 4 -> 1568, 8 -> 1118, 16 -> 1338, 32 -> 1638): fewer tiles
+# per step under-amortize the pipeline overhead, more inflate the VMEM
+# working set and degrade the DMA double-buffering overlap
 TILES_PER_STEP = 8
 
 # Scalar-prefetch operands live in SMEM; grids beyond ~1024 tiles overflow
@@ -58,16 +62,34 @@ CHUNK = 1024
 def _kernel(ids_ref, geom_ref, *refs):
     out_ref = refs[-1]
     k = jax.lax.broadcasted_iota(jnp.int32, (K, P), 0).astype(jnp.float32)
-    r = jax.lax.broadcasted_iota(jnp.int32, (K, P), 1).astype(jnp.float32)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (K, P), 1)
+    r = ri.astype(jnp.float32)
+    # Blocks arrive packed (8, 128) — one dense i32-native tile instead of a
+    # lane-padded (32, 32) (which DMAs 4x the bytes). Mosaic cannot
+    # shape-cast (8, 128)->(32, 32), but four 32-lane slices concatenated
+    # along sublanes recover the block with rows in the static permutation
+    # sigma(i) = 4*(i&7) + (i>>3); folding sigma into wy's row indices makes
+    # the permutation free (columns stay in texel order, so wx is untouched).
+    rtau = (4 * (ri & 7) + ((ri >> 3) & 3) + 32 * (ri >> 5)).astype(jnp.float32)
+
+    def unpack(ref, which):
+        pb = ref[0, which]  # (8, 128) packed block `which` of the pair
+        # lane-rotate each 32-lane group to offset 0 before slicing — Mosaic
+        # cannot concat pieces whose lane offsets differ
+        pieces = [
+            (pltpu.roll(pb, 128 - 32 * j, 1) if j else pb)[:, :32] for j in range(4)
+        ]
+        return jnp.concatenate(pieces, axis=0)  # (32, 32), rows sigma-permuted
+
     for t in range(TILES_PER_STEP):
-        tl, tr, bl, br = refs[4 * t : 4 * t + 4]
+        top, bot = refs[2 * t : 2 * t + 2]  # (1, 2, 8, 128) pair refs
         patch = jnp.concatenate(
             [
-                jnp.concatenate([tl[0], tr[0]], axis=1),
-                jnp.concatenate([bl[0], br[0]], axis=1),
+                jnp.concatenate([unpack(top, 0), unpack(top, 1)], axis=1),
+                jnp.concatenate([unpack(bot, 0), unpack(bot, 1)], axis=1),
             ],
             axis=0,
-        ).astype(jnp.float32)  # (64, 64); blocks are stored i32 (layout-native)
+        ).astype(jnp.float32)  # (64, 64); rows tau-permuted, columns in order
         p0x = geom_ref[0, t, 0]
         p0y = geom_ref[0, t, 1]
         dp = geom_ref[0, t, 2]
@@ -75,7 +97,7 @@ def _kernel(ids_ref, geom_ref, *refs):
         px = jnp.clip(p0x + k * dp, 0.0, P - 1.0)
         py = jnp.clip(p0y + k * dp, 0.0, P - 1.0)
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(px - r))  # (K, P)
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(py - r))
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(py - rtau))  # row-permuted tents
         rows = jnp.dot(wy, patch, preferred_element_type=jnp.float32)  # (K, P)
         half = jnp.dot(rows, wx.T, preferred_element_type=jnp.float32)  # (K, K)
         out_ref[t] = half * valid
@@ -86,9 +108,15 @@ def fetch_resample(block_array, ids, geom, interpret: bool = False):
     """Fused patch fetch + half-grid resample.
 
     Args:
-      block_array: (N, 32, 32) int32 atlas blocks (unified mip layout;
-        i32 keeps the Pallas-native (8,128) tiling — u16 would be copied).
-      ids: (F, 4) i32 flat block indices (tl, tr, bl, br), pre-clamped.
+      block_array: (N, 2, 8, 128) int32 packed overlapping block pairs
+        (patch_sampling.pair_blocks): entry i holds blocks (i, i+1), each a
+        (32, 32) texel block packed row-major into one dense i32-native
+        (8, 128) tile. One 8 KB pair DMA replaces two block fetches — the
+        fetch is HBM random-access latency bound, so DMA count is what
+        matters.
+      ids: (F, 4) i32 flat block indices (tl, tr, bl, br) with tr == tl+1
+        and br == bl+1 (patch_geometry guarantees it); only columns 0 and 2
+        drive the pair loads.
       geom: (F, 4) f32 = (p0x, p0y, dp, valid) per tile.
 
     Returns (F, 33, 33) f32 half-grid values (raw texel scale).
@@ -125,9 +153,10 @@ def _fetch_resample_chunk(block_array, ids, geom, interpret: bool = False):
     steps = Fp // T
 
     def spec(t, q):
+        # q: 0 = (tl, tr) pair, 1 = (bl, br) pair — ids columns 0 and 2
         return pl.BlockSpec(
-            (1, 32, 32),
-            lambda i, ids_ref, t=t, q=q: (ids_ref[i * T + t, q], 0, 0),
+            (1, 2, 8, 128),
+            lambda i, ids_ref, t=t, q=q: (ids_ref[i * T + t, 2 * q], 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -139,7 +168,7 @@ def _fetch_resample_chunk(block_array, ids, geom, interpret: bool = False):
                 (1, T, 4), lambda i, ids_ref: (i, 0, 0), memory_space=pltpu.VMEM
             ),
         ]
-        + [spec(t, q) for t in range(T) for q in range(4)],
+        + [spec(t, q) for t in range(T) for q in range(2)],
         out_specs=pl.BlockSpec(
             (T, K, K), lambda i, ids_ref: (i, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -149,5 +178,5 @@ def _fetch_resample_chunk(block_array, ids, geom, interpret: bool = False):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Fp, K, K), jnp.float32),
         interpret=interpret,
-    )(ids, geom.reshape(steps, T, 4), *([block_array] * (4 * T)))
+    )(ids, geom.reshape(steps, T, 4), *([block_array] * (2 * T)))
     return out[:F] if Fp != F else out

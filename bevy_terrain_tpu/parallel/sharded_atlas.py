@@ -26,12 +26,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def shard_blocks(mesh: Mesh, block_array, axis: str = "atlas"):
-    """Place a (N, 32, 32) block array sharded on its slot axis."""
+    """Place a (N, 2, 8, 128) packed pair array sharded on its slot axis."""
     n = mesh.shape[axis]
     N = block_array.shape[0]
     if N % n:
         pad = (-N) % n
-        block_array = jnp.pad(block_array, ((0, pad), (0, 0), (0, 0)))
+        block_array = jnp.pad(
+            block_array, ((0, pad),) + ((0, 0),) * (block_array.ndim - 1)
+        )
     return jax.device_put(block_array, NamedSharding(mesh, P(axis)))
 
 
@@ -52,13 +54,13 @@ def fetch_patches_sharded(mesh: Mesh, sharded_blocks, ids, axis: str = "atlas"):
         in_range = (local >= 0) & (local < per_device)
         safe = jnp.clip(local, 0, per_device - 1)
 
-        def quad(q):
-            v = jnp.take(blocks, safe[:, q], axis=0).astype(jnp.float32)
+        def row(q):
+            v = jnp.take(blocks, safe[:, q], axis=0)  # (F, 2, 8, 128) pairs
+            v = v.reshape(v.shape[0], 2, 32, 32).astype(jnp.float32)
+            v = jnp.concatenate([v[:, 0], v[:, 1]], axis=-1)  # (F, 32, 64)
             return v * in_range[:, q, None, None]
 
-        top = jnp.concatenate([quad(0), quad(1)], axis=-1)
-        bot = jnp.concatenate([quad(2), quad(3)], axis=-1)
-        patch = jnp.concatenate([top, bot], axis=-2)  # (F, 64, 64)
+        patch = jnp.concatenate([row(0), row(2)], axis=-2)  # (F, 64, 64)
         # one owner per block -> psum reconstructs every patch everywhere
         return jax.lax.psum(patch, axis)
 
