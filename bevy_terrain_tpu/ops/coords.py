@@ -54,10 +54,28 @@ def compute_local_position(side, lod, xy, uv, spherical: bool):
         )
     w = (uv01 - 0.5) / 0.5
     p = w / jnp.sqrt(1.0 + C_SQR - C_SQR * w * w)
-    mats = jnp.asarray(_SIDE_MATS)[side]  # (..., 3, 3)
+    mats = take_side_rows(jnp.asarray(_SIDE_MATS), side)  # (..., 3, 3)
     homo = jnp.stack([p[..., 0], p[..., 1], jnp.ones_like(p[..., 0])], axis=-1)
     cube = jnp.sum(mats * homo[..., None, :], axis=-1)
     return cube / jnp.linalg.norm(cube, axis=-1, keepdims=True)
+
+
+def take_side_rows(table, side, side_count: int = 6):
+    """Row-select a tiny per-side table without a per-lane gather.
+
+    ``table[side]`` with a vector ``side`` makes XLA emit a serial-loop
+    gather (~12 ns/lane; measured 0.19 ms per (6, 2) table at 8192 lanes).
+    A planar terrain has one side — broadcast row 0; a sphere has six —
+    a branchless where-chain fuses into the surrounding elementwise code.
+    """
+    tail = tuple(table.shape[1:])
+    if side_count == 1:
+        return jnp.broadcast_to(table[0], jnp.shape(side) + tail)
+    out = jnp.broadcast_to(table[0], jnp.shape(side) + tail)
+    mask_shape = jnp.shape(side) + (1,) * len(tail)
+    for k in range(1, side_count):
+        out = jnp.where((side == k).reshape(mask_shape), table[k], out)
+    return out
 
 
 def _apply_mat3(m, v):
@@ -126,25 +144,28 @@ def coordinate_change_lod(lod, xy, uv, new_lod):
     return new_lod, out_xy, out_uv
 
 
-def compute_relative_position(side, lod, xy, uv, taylor: TaylorParams, origin_lod: int):
+def compute_relative_position(
+    side, lod, xy, uv, taylor: TaylorParams, origin_lod: int, side_count: int = 6
+):
     """Taylor-series view-relative position (functions.wgsl:98-115).
 
     Returns (..., 3) f32 positions relative to the view world position.
     """
     _, oxy, ouv = coordinate_change_lod(lod, xy, uv, origin_lod)
-    origin_xy = taylor.origin_xy[side]  # (..., 2)
-    origin_uv = taylor.origin_uv[side]
+    origin_xy = take_side_rows(taylor.origin_xy, side, side_count)  # (..., 2)
+    origin_uv = take_side_rows(taylor.origin_uv, side, side_count)
     origin_count = tile_count(jnp.int32(origin_lod))
     rel_st = ((oxy - origin_xy).astype(jnp.float32) + (ouv - origin_uv)) / origin_count
     s = rel_st[..., 0:1]
     t = rel_st[..., 1:2]
+    row = lambda tbl: take_side_rows(tbl, side, side_count)
     return (
-        taylor.c[side]
-        + taylor.c_s[side] * s
-        + taylor.c_t[side] * t
-        + taylor.c_ss[side] * s * s
-        + taylor.c_st[side] * s * t
-        + taylor.c_tt[side] * t * t
+        row(taylor.c)
+        + row(taylor.c_s) * s
+        + row(taylor.c_t) * t
+        + row(taylor.c_ss) * s * s
+        + row(taylor.c_st) * s * t
+        + row(taylor.c_tt) * t * t
     )
 
 
@@ -167,7 +188,7 @@ def approximate_view_distance(
 
     if cfg.high_precision:
         relative = compute_relative_position(
-            side, lod, xy, uv, uniforms.taylor, cfg.origin_lod
+            side, lod, xy, uv, uniforms.taylor, cfg.origin_lod, cfg.side_count
         )
         hp_distance = jnp.linalg.norm(
             relative + uniforms.approximate_height * normal, axis=-1
@@ -180,11 +201,13 @@ def approximate_view_distance(
     return view_distance
 
 
-def compute_subdivision_coordinate(side, lod, xy, taylor: TaylorParams, origin_lod: int):
+def compute_subdivision_coordinate(
+    side, lod, xy, taylor: TaylorParams, origin_lod: int, side_count: int = 6
+):
     """Closest point of a tile to the view, in uv space
     (functions.wgsl:133-154). Input coordinates have uv = 0; returns uv."""
-    view_xy = taylor.origin_xy[side]
-    view_uv = taylor.origin_uv[side]
+    view_xy = take_side_rows(taylor.origin_xy, side, side_count)
+    view_uv = take_side_rows(taylor.origin_uv, side, side_count)
     vlod, vxy, vuv = coordinate_change_lod(
         jnp.broadcast_to(jnp.int32(origin_lod), jnp.asarray(lod).shape),
         view_xy,

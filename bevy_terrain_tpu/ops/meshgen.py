@@ -136,7 +136,8 @@ def generate_mesh_grid(
     )
     if cfg.high_precision:
         relative = coords.compute_relative_position(
-            side, lod_b, xy, tile_uv, uniforms.taylor, cfg.origin_lod
+            side, lod_b, xy, tile_uv, uniforms.taylor, cfg.origin_lod,
+            cfg.side_count,
         )
         hp_distance = jnp.linalg.norm(
             relative + uniforms.approximate_height * normal, axis=-1
@@ -153,7 +154,8 @@ def generate_mesh_grid(
     )
     if cfg.high_precision:
         hp_relative = coords.compute_relative_position(
-            side, lod_b, xy, morphed_uv, uniforms.taylor, cfg.origin_lod
+            side, lod_b, xy, morphed_uv, uniforms.taylor, cfg.origin_lod,
+            cfg.side_count,
         )
         hp_world = uniforms.view_world_position + hp_relative
         morph_world = jnp.where(high_precision[..., None], hp_world, morph_world)
@@ -229,7 +231,8 @@ def generate_mesh(
         # vertex.wgsl:40-55: refine the distance with the Taylor relative
         # position below the precision threshold
         relative = coords.compute_relative_position(
-            side, lod_b, xy, tile_uv, uniforms.taylor, cfg.origin_lod
+            side, lod_b, xy, tile_uv, uniforms.taylor, cfg.origin_lod,
+            cfg.side_count,
         )
         hp_distance = jnp.linalg.norm(
             relative + uniforms.approximate_height * normal, axis=-1
@@ -248,7 +251,8 @@ def generate_mesh(
 
     if cfg.high_precision:
         hp_relative = coords.compute_relative_position(
-            side, lod_b, xy, morphed_uv, uniforms.taylor, cfg.origin_lod
+            side, lod_b, xy, morphed_uv, uniforms.taylor, cfg.origin_lod,
+            cfg.side_count,
         )
         hp_world = uniforms.view_world_position + hp_relative
         morph_world = jnp.where(high_precision[..., None], hp_world, morph_world)

@@ -98,6 +98,13 @@ def _kernel(ids_ref, geom_ref, *refs):
         py = jnp.clip(p0y + k * dp, 0.0, P - 1.0)
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(px - r))  # (K, P)
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(py - rtau))  # row-permuted tents
+        # Default (bf16-pass) MXU precision: quantizes 16-bit height data by
+        # ~0.2% of range, same as the XLA einsum fallback and within the
+        # fast path's documented band-limit tolerance. Measured and
+        # rejected: HIGHEST (3-pass f32) = 3.2x kernel cost; folding the
+        # 1-2-1 blend smoothing in as two extra (33,33) dots per tile =
+        # +0.52 ms (MXU fixed per-dot overhead dominates tiny dots) — the
+        # XLA elementwise smoothing over HBM costs the same and keeps f32.
         rows = jnp.dot(wy, patch, preferred_element_type=jnp.float32)  # (K, P)
         half = jnp.dot(rows, wx.T, preferred_element_type=jnp.float32)  # (K, K)
         out_ref[t] = half * valid

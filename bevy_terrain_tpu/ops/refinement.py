@@ -46,7 +46,7 @@ def should_be_divided(side, lod, xy, uniforms: FrameUniforms, cfg: StaticTerrain
     """Subdivision predicate (refine_tiles.wgsl:17-22): the view distance to
     the closest point of the tile is below ``subdivision_distance / 2^lod``."""
     uv = coords.compute_subdivision_coordinate(
-        side, lod, xy, uniforms.taylor, cfg.origin_lod
+        side, lod, xy, uniforms.taylor, cfg.origin_lod, cfg.side_count
     )
     view_distance = coords.approximate_view_distance(side, lod, xy, uv, uniforms, cfg)
     return view_distance < uniforms.subdivision_distance / coords.tile_count(lod)

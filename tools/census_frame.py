@@ -6,6 +6,9 @@ import shutil
 import sys
 from collections import defaultdict
 
+import sys
+from pathlib import Path
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
@@ -69,6 +72,7 @@ def main():
         data = json.load(fh)
     # find the jit_ event pids/tids on device and sum op self-times
     ops = defaultdict(float)
+    longs = {}
     total = 0.0
     for e in data.get("traceEvents", []):
         if e.get("ph") != "X":
@@ -82,10 +86,16 @@ def main():
             continue
         args = e.get("args") or {}
         if "long_name" in args or "hlo_op" in args or "hlo_category" in args:
-            ops[str(e.get("name", ""))[:80]] += e["dur"] / 1e3
+            name = str(e.get("name", ""))[:60]
+            ops[name] += e["dur"] / 1e3
+            long = str(args.get("long_name", args.get("hlo_op", "")))
+            if long and name not in longs:
+                longs[name] = long[:500]
     print(f"jit__frame total: {total:.3f} ms")
-    for name, ms in sorted(ops.items(), key=lambda kv: -kv[1])[:25]:
+    for name, ms in sorted(ops.items(), key=lambda kv: -kv[1])[:30]:
         print(f"{ms:9.3f} ms  {name}")
+        if name in longs:
+            print(f"             {longs[name]}")
 
 
 if __name__ == "__main__":

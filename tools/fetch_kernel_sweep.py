@@ -7,7 +7,10 @@ storage, then prints device time for an 8192-tile fetch on the real TPU.
 import sys
 import time
 
+from pathlib import Path
 import numpy as np
+import sys as _sys
+_sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():
