@@ -73,7 +73,7 @@ def _kernel(ids_ref, geom_ref, *refs):
     rtau = (4 * (ri & 7) + ((ri >> 3) & 3) + 32 * (ri >> 5)).astype(jnp.float32)
 
     def unpack(ref, which):
-        pb = ref[0, which]  # (8, 128) packed block `which` of the pair
+        pb = ref[0, which]  # (8, 128) packed block `which` of the quad
         # lane-rotate each 32-lane group to offset 0 before slicing — Mosaic
         # cannot concat pieces whose lane offsets differ
         pieces = [
@@ -82,11 +82,11 @@ def _kernel(ids_ref, geom_ref, *refs):
         return jnp.concatenate(pieces, axis=0)  # (32, 32), rows sigma-permuted
 
     for t in range(TILES_PER_STEP):
-        top, bot = refs[2 * t : 2 * t + 2]  # (1, 2, 8, 128) pair refs
+        quad = refs[t]  # (1, 4, 8, 128) quad ref: tl, tr, bl, br
         patch = jnp.concatenate(
             [
-                jnp.concatenate([unpack(top, 0), unpack(top, 1)], axis=1),
-                jnp.concatenate([unpack(bot, 0), unpack(bot, 1)], axis=1),
+                jnp.concatenate([unpack(quad, 0), unpack(quad, 1)], axis=1),
+                jnp.concatenate([unpack(quad, 2), unpack(quad, 3)], axis=1),
             ],
             axis=0,
         ).astype(jnp.float32)  # (64, 64); rows tau-permuted, columns in order
@@ -115,15 +115,15 @@ def fetch_resample(block_array, ids, geom, interpret: bool = False):
     """Fused patch fetch + half-grid resample.
 
     Args:
-      block_array: (N, 2, 8, 128) int32 packed overlapping block pairs
-        (patch_sampling.pair_blocks): entry i holds blocks (i, i+1), each a
-        (32, 32) texel block packed row-major into one dense i32-native
-        (8, 128) tile. One 8 KB pair DMA replaces two block fetches — the
-        fetch is HBM random-access latency bound, so DMA count is what
-        matters.
-      ids: (F, 4) i32 flat block indices (tl, tr, bl, br) with tr == tl+1
-        and br == bl+1 (patch_geometry guarantees it); only columns 0 and 2
-        drive the pair loads.
+      block_array: (N, 4, 8, 128) int32 packed overlapping block quads
+        (patch_sampling.quad_blocks): entry i holds the 2x2 block window
+        (i, i+1, i+g, i+g+1) of its mip, each a (32, 32) texel block packed
+        row-major into one dense i32-native (8, 128) tile. ONE 16 KB quad
+        DMA fetches a tile's whole patch — the fetch is HBM random-access
+        latency bound, so DMA count per tile is the entire cost.
+      ids: (F, 4) i32 flat block indices (tl, tr, bl, br); quad adjacency
+        (tr == tl+1, bl == tl+g) is guaranteed by patch_geometry's bx/by
+        clamp, so only column 0 drives the loads.
       geom: (F, 4) f32 = (p0x, p0y, dp, valid) per tile.
 
     Returns (F, 33, 33) f32 half-grid values (raw texel scale).
@@ -159,11 +159,11 @@ def _fetch_resample_chunk(block_array, ids, geom, interpret: bool = False):
     Fp = ids.shape[0]
     steps = Fp // T
 
-    def spec(t, q):
-        # q: 0 = (tl, tr) pair, 1 = (bl, br) pair — ids columns 0 and 2
+    def spec(t):
+        # one (1, 4, 8, 128) quad per tile, addressed by the tl id (col 0)
         return pl.BlockSpec(
-            (1, 2, 8, 128),
-            lambda i, ids_ref, t=t, q=q: (ids_ref[i * T + t, 2 * q], 0, 0, 0),
+            (1, 4, 8, 128),
+            lambda i, ids_ref, t=t: (ids_ref[i * T + t, 0], 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -175,7 +175,7 @@ def _fetch_resample_chunk(block_array, ids, geom, interpret: bool = False):
                 (1, T, 4), lambda i, ids_ref: (i, 0, 0), memory_space=pltpu.VMEM
             ),
         ]
-        + [spec(t, q) for t in range(T) for q in range(2)],
+        + [spec(t) for t in range(T)],
         out_specs=pl.BlockSpec(
             (T, K, K), lambda i, ids_ref: (i, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -185,5 +185,5 @@ def _fetch_resample_chunk(block_array, ids, geom, interpret: bool = False):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Fp, K, K), jnp.float32),
         interpret=interpret,
-    )(ids, geom.reshape(steps, T, 4), *([block_array] * (2 * T)))
+    )(ids, geom.reshape(steps, T, 4), *([block_array] * T))
     return out[:F] if Fp != F else out

@@ -46,16 +46,18 @@ from bevy_terrain_tpu.ops.params import StaticTerrainConfig
 
 BLOCK = 32
 
-# Block arrays are stored as *packed overlapping pairs*: each (32, 32)
+# Block arrays are stored as *packed overlapping quads*: each (32, 32)
 # texel block is reshaped row-major to (8, 128) — exactly one dense
 # i32-native TPU tile (unpacked (N, 32, 32) storage is lane-padded to
 # (32, 128) by XLA's T(8,128) layout, 4x the bytes) — and entry i holds
-# blocks (i, i+1) so one 8 KB DMA fetches a horizontal block pair. The
-# patch fetch at frame scale is HBM random-access *latency* bound (16 KB
-# vs 4 KB DMAs measured within 10%), so halving the DMA count from 4 to 2
-# per tile nearly halves its cost; tl/tr and bl/br are always consecutive
-# flat ids because patch_geometry clamps bx/by to g-2. The 2x storage
-# (vs plain packed) is still half the lane-padded layout's footprint.
+# the 2x2 block window (i, i+1, i+g, i+g+1) of its mip, so ONE 16 KB DMA
+# fetches a tile's whole patch. The patch fetch at frame scale is HBM
+# random-access *latency* bound (16 KB vs 4 KB DMAs measured within 10%),
+# so DMA count per tile is the whole cost: 4 singles = 2.16 ms, 2 pairs =
+# 1.56 ms, 1 quad is the floor. Quad validity relies on patch_geometry
+# clamping bx/by to g-2, which makes tr = tl+1 and bl = tl+g
+# unconditionally. The 4x storage equals the lane-padded layout's
+# footprint — no capacity regression versus the naive design.
 PACKED_BLOCK = (8, 128)
 
 
@@ -69,15 +71,25 @@ def unpack_blocks(packed):
     return packed.reshape(*packed.shape[:-2], BLOCK, BLOCK)
 
 
-def pair_blocks(packed_run: np.ndarray) -> np.ndarray:
-    """(M, 8, 128) packed block run -> (M, 2, 8, 128) overlapping pairs.
+def quad_blocks(packed_run: np.ndarray, g: int) -> np.ndarray:
+    """(g*g, 8, 128) packed mip run -> (g*g, 4, 8, 128) overlapping quads.
 
-    Entry i = (block i, block i+1); the final entry duplicates itself. Pairs
-    whose second element crosses a mip / slot boundary are never requested
-    (tl/bl ids always have bx <= g-2), so their content is irrelevant.
+    Entry i = packed blocks (i, i+1, i+g, i+g+1) clamped to the run; only
+    entries with bx <= g-2 and by <= g-2 are ever requested (tl ids from
+    patch_geometry), so clamped content is never read.
     """
-    nxt = np.concatenate([packed_run[1:], packed_run[-1:]], axis=0)
-    return np.stack([packed_run, nxt], axis=1)
+    n = packed_run.shape[0]
+    idx = np.arange(n)
+    quad = np.stack(
+        [
+            packed_run,
+            packed_run[np.minimum(idx + 1, n - 1)],
+            packed_run[np.minimum(idx + g, n - 1)],
+            packed_run[np.minimum(idx + g + 1, n - 1)],
+        ],
+        axis=1,
+    )
+    return quad
 
 
 class PatchPlan(NamedTuple):
@@ -132,7 +144,7 @@ def make_patch_plan(texture_size: int, mip_count: int, border_size: int) -> Patc
 def blocks_from_tile(mips: list[np.ndarray], plan: PatchPlan, channel: int = 0) -> np.ndarray:
     """Host: cut one tile's mip chain into the unified block run for a slot.
 
-    Returns (total_blocks_per_slot, 2, 8, 128) packed block pairs in the
+    Returns (total_blocks_per_slot, 4, 8, 128) packed block quads in the
     attachment dtype, ordered mip-major to match :func:`make_patch_plan`
     offsets.
     """
@@ -143,7 +155,7 @@ def blocks_from_tile(mips: list[np.ndarray], plan: PatchPlan, channel: int = 0) 
         blocks = (
             data.reshape(g, BLOCK, g, BLOCK).transpose(0, 2, 1, 3).reshape(-1, BLOCK, BLOCK)
         )
-        out.append(pair_blocks(pack_blocks(blocks)))
+        out.append(quad_blocks(pack_blocks(blocks), g))
     return np.concatenate(out, axis=0)
 
 
@@ -232,19 +244,17 @@ def patch_geometry(
 
 
 def fetch_patches_xla(block_array, ids):
-    """XLA fallback patch assembly: two pair takes + concat (F, 64, 64).
+    """XLA fallback patch assembly: one quad take + concat (F, 64, 64).
 
-    ``block_array`` is (N, 2, 8, 128) packed pair storage (see
-    :func:`pair_blocks`); only ids columns 0 (tl) and 2 (bl) are fetched —
-    tr/br ride along as the pair's second element.
+    ``block_array`` is (N, 4, 8, 128) packed quad storage (see
+    :func:`quad_blocks`); only ids column 0 (tl) is fetched — tr/bl/br ride
+    along as the quad's other elements.
     """
-
-    def row(q):
-        taken = jnp.take(block_array, ids[:, q], axis=0)  # (F, 2, 8, 128)
-        pair = unpack_blocks(taken).astype(jnp.float32)  # (F, 2, 32, 32)
-        return jnp.concatenate([pair[:, 0], pair[:, 1]], axis=-1)  # (F, 32, 64)
-
-    return jnp.concatenate([row(0), row(2)], axis=-2)
+    taken = jnp.take(block_array, ids[:, 0], axis=0)  # (F, 4, 8, 128)
+    quad = unpack_blocks(taken).astype(jnp.float32)  # (F, 4, 32, 32)
+    top = jnp.concatenate([quad[:, 0], quad[:, 1]], axis=-1)  # (F, 32, 64)
+    bot = jnp.concatenate([quad[:, 2], quad[:, 3]], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
 
 
 def halfgrid_resample(patch, p0, dp, cfg: StaticTerrainConfig):
