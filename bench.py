@@ -80,7 +80,7 @@ def main() -> None:
     plan = patch_sampling.make_patch_plan(TEXTURE_SIZE, 4, BORDER)
     blocks = jnp.asarray(
         rng.integers(
-            0, 65535, (1024 * plan.total_blocks_per_slot, 4, 8, 128)
+            0, 65535, (1024 * plan.total_blocks_per_slot, 32, 128)
         ).astype(np.int32)
     )
     in_shardings = None

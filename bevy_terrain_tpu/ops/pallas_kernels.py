@@ -7,14 +7,15 @@ DMAs the four atlas blocks of several tiles' windows straight into VMEM
 scalar-prefetched block indices), assembles the 64x64 patches, builds the
 tent-weight matrices on the VPU, and runs two small matmuls per tile on the
 MXU — the 33x33 half-grid leaves the kernel, the patch never touches HBM.
-Blocks are stored packed: a (32, 32) texel block lives as one dense
-(8, 128) i32-native tile, which quarters the DMA traffic versus the
-lane-padded T(8,128) layout XLA gives a (32, 32) minor shape.
+Blocks are stored as row-interleaved overlapping quads: one dense
+(32, 128) i32-native tile holds a tile's whole 2x2 block window, so the
+patch is ONE 16 KB DMA and two lane slices — no padding, no unpack
+shuffles. The fetch at production atlas sizes is HBM random-access
+latency bound (DMA *count*, not bytes: 4 DMAs/tile = 2.16 ms, 2 = 1.56,
+1 = 1.25 at 8192 tiles), which this layout takes to its floor.
 
 This replaces four XLA ``take`` ops whose per-slice overhead (~320 ns)
-dominated the frame (measured 10.5 ms at 8192 tiles). With packed blocks
-the kernel runs 8192 tiles in 1.12 ms (was 2.0 ms unpacked) — now bounded
-by the VPU unpack (12 lane-rolls + concats per tile) rather than DMA.
+dominated the frame (measured 10.5 ms at 8192 tiles).
 """
 
 from __future__ import annotations
@@ -41,17 +42,18 @@ def block_format(device=None):
 
     device = device or _jax.devices()[0]
     return Format(
-        Layout(major_to_minor=(0, 1, 2, 3)), SingleDeviceSharding(device)
+        Layout(major_to_minor=(0, 1, 2)), SingleDeviceSharding(device)
     )
 
 HG = 32  # half-grid intervals (grid_size 16); kernel is specialized for this
 K = HG + 1  # 33 half-grid points
 P = 64  # assembled patch extent
-# 8 tiles/step is the measured optimum for the packed kernel (8192 tiles:
-# 2 -> 2001us, 4 -> 1568, 8 -> 1118, 16 -> 1338, 32 -> 1638): fewer tiles
-# per step under-amortize the pipeline overhead, more inflate the VMEM
-# working set and degrade the DMA double-buffering overlap
-TILES_PER_STEP = 8
+# 64 tiles/step is the measured optimum for the row-interleaved quad
+# kernel (8192 tiles, 344 MB atlas: 4 -> 1307us, 8 -> 1051, 16 -> 886,
+# 32 -> 804, 64 -> 758, 128 -> 759 but 234 s Mosaic compile): one quad ref
+# per tile keeps the VMEM working set small enough that wide steps only
+# add DMA parallelism
+TILES_PER_STEP = 64
 
 # Scalar-prefetch operands live in SMEM; grids beyond ~1024 tiles overflow
 # it (observed compile failure at 2048 on v5e), so larger frames run the
@@ -62,34 +64,16 @@ CHUNK = 1024
 def _kernel(ids_ref, geom_ref, *refs):
     out_ref = refs[-1]
     k = jax.lax.broadcasted_iota(jnp.int32, (K, P), 0).astype(jnp.float32)
-    ri = jax.lax.broadcasted_iota(jnp.int32, (K, P), 1)
-    r = ri.astype(jnp.float32)
-    # Blocks arrive packed (8, 128) — one dense i32-native tile instead of a
-    # lane-padded (32, 32) (which DMAs 4x the bytes). Mosaic cannot
-    # shape-cast (8, 128)->(32, 32), but four 32-lane slices concatenated
-    # along sublanes recover the block with rows in the static permutation
-    # sigma(i) = 4*(i&7) + (i>>3); folding sigma into wy's row indices makes
-    # the permutation free (columns stay in texel order, so wx is untouched).
-    rtau = (4 * (ri & 7) + ((ri >> 3) & 3) + 32 * (ri >> 5)).astype(jnp.float32)
-
-    def unpack(ref, which):
-        pb = ref[0, which]  # (8, 128) packed block `which` of the quad
-        # lane-rotate each 32-lane group to offset 0 before slicing — Mosaic
-        # cannot concat pieces whose lane offsets differ
-        pieces = [
-            (pltpu.roll(pb, 128 - 32 * j, 1) if j else pb)[:, :32] for j in range(4)
-        ]
-        return jnp.concatenate(pieces, axis=0)  # (32, 32), rows sigma-permuted
-
+    r = jax.lax.broadcasted_iota(jnp.int32, (K, P), 1).astype(jnp.float32)
     for t in range(TILES_PER_STEP):
-        quad = refs[t]  # (1, 4, 8, 128) quad ref: tl, tr, bl, br
+        # quad ref (1, 32, 128): rows r, lanes 32q + c = block_q[r, c] —
+        # the patch's top half [tl | tr] is the first 64 lanes, the bottom
+        # [bl | br] the last 64 (lane-rotated to offset 0 for the concat;
+        # Mosaic cannot concat pieces whose lane offsets differ)
+        q = refs[t][0]
         patch = jnp.concatenate(
-            [
-                jnp.concatenate([unpack(quad, 0), unpack(quad, 1)], axis=1),
-                jnp.concatenate([unpack(quad, 2), unpack(quad, 3)], axis=1),
-            ],
-            axis=0,
-        ).astype(jnp.float32)  # (64, 64); rows tau-permuted, columns in order
+            [q[:, :64], pltpu.roll(q, 64, 1)[:, :64]], axis=0
+        ).astype(jnp.float32)  # (64, 64) in natural texel order
         p0x = geom_ref[0, t, 0]
         p0y = geom_ref[0, t, 1]
         dp = geom_ref[0, t, 2]
@@ -97,7 +81,7 @@ def _kernel(ids_ref, geom_ref, *refs):
         px = jnp.clip(p0x + k * dp, 0.0, P - 1.0)
         py = jnp.clip(p0y + k * dp, 0.0, P - 1.0)
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(px - r))  # (K, P)
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(py - rtau))  # row-permuted tents
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(py - r))
         # Default (bf16-pass) MXU precision: quantizes 16-bit height data by
         # ~0.2% of range, same as the XLA einsum fallback and within the
         # fast path's documented band-limit tolerance. Measured and
@@ -115,12 +99,13 @@ def fetch_resample(block_array, ids, geom, interpret: bool = False):
     """Fused patch fetch + half-grid resample.
 
     Args:
-      block_array: (N, 4, 8, 128) int32 packed overlapping block quads
-        (patch_sampling.quad_blocks): entry i holds the 2x2 block window
-        (i, i+1, i+g, i+g+1) of its mip, each a (32, 32) texel block packed
-        row-major into one dense i32-native (8, 128) tile. ONE 16 KB quad
-        DMA fetches a tile's whole patch — the fetch is HBM random-access
-        latency bound, so DMA count per tile is the entire cost.
+      block_array: (N, 32, 128) int32 row-interleaved overlapping block
+        quads (patch_sampling.quad_rows): entry i holds the 2x2 block
+        window (i, i+1, i+g, i+g+1) of its mip as Q[r, 32q+c] =
+        block_q[r, c] — one dense i32-native tile. ONE 16 KB quad DMA
+        fetches a tile's whole patch — the fetch is HBM random-access
+        latency bound, so DMA count per tile is the entire cost — and the
+        patch assembles from two plain lane slices.
       ids: (F, 4) i32 flat block indices (tl, tr, bl, br); quad adjacency
         (tr == tl+1, bl == tl+g) is guaranteed by patch_geometry's bx/by
         clamp, so only column 0 drives the loads.
@@ -160,10 +145,10 @@ def _fetch_resample_chunk(block_array, ids, geom, interpret: bool = False):
     steps = Fp // T
 
     def spec(t):
-        # one (1, 4, 8, 128) quad per tile, addressed by the tl id (col 0)
+        # one (1, 32, 128) row-interleaved quad per tile, keyed by tl id
         return pl.BlockSpec(
-            (1, 4, 8, 128),
-            lambda i, ids_ref, t=t: (ids_ref[i * T + t, 0], 0, 0, 0),
+            (1, 32, 128),
+            lambda i, ids_ref, t=t: (ids_ref[i * T + t, 0], 0, 0),
             memory_space=pltpu.VMEM,
         )
 

@@ -46,50 +46,40 @@ from bevy_terrain_tpu.ops.params import StaticTerrainConfig
 
 BLOCK = 32
 
-# Block arrays are stored as *packed overlapping quads*: each (32, 32)
-# texel block is reshaped row-major to (8, 128) — exactly one dense
-# i32-native TPU tile (unpacked (N, 32, 32) storage is lane-padded to
-# (32, 128) by XLA's T(8,128) layout, 4x the bytes) — and entry i holds
-# the 2x2 block window (i, i+1, i+g, i+g+1) of its mip, so ONE 16 KB DMA
-# fetches a tile's whole patch. The patch fetch at frame scale is HBM
-# random-access *latency* bound (16 KB vs 4 KB DMAs measured within 10%),
-# so DMA count per tile is the whole cost: 4 singles = 2.16 ms, 2 pairs =
-# 1.56 ms, 1 quad is the floor. Quad validity relies on patch_geometry
-# clamping bx/by to g-2, which makes tr = tl+1 and bl = tl+g
-# unconditionally. The 4x storage equals the lane-padded layout's
-# footprint — no capacity regression versus the naive design.
-PACKED_BLOCK = (8, 128)
+# Block arrays are stored as *row-interleaved overlapping quads*: entry i
+# holds the 2x2 block window (i, i+1, i+g, i+g+1) of its mip laid out as
+# Q[r, 32q + c] = block_q[r, c] — a dense (32, 128) i32-native tile (zero
+# lane padding), so ONE 16 KB DMA fetches a tile's whole patch AND the
+# patch halves are plain lane slices (top = Q[:, :64] is [tl | tr], bottom
+# = Q[:, 64:] is [bl | br]) — no in-kernel unpack shuffles at all. The
+# patch fetch at frame scale is HBM random-access *latency* bound (16 KB
+# vs 4 KB DMAs measured within 10%), so DMA count per tile is the whole
+# cost: 4 singles = 2.16 ms, 2 pairs = 1.56 ms, 1 quad is the floor. Quad
+# validity relies on patch_geometry clamping bx/by to g-2, which makes
+# tr = tl+1 and bl = tl+g unconditionally. The 4x storage equals the
+# lane-padded naive layout's footprint — no capacity regression.
+QUAD_SHAPE = (BLOCK, 4 * BLOCK)
 
 
-def pack_blocks(blocks):
-    """(..., 32, 32) texel blocks -> (..., 8, 128) packed storage."""
-    return blocks.reshape(*blocks.shape[:-2], *PACKED_BLOCK)
+def quad_rows(blocks: np.ndarray, g: int) -> np.ndarray:
+    """(g*g, 32, 32) texel-block mip run -> (g*g, 32, 128) quad rows.
 
-
-def unpack_blocks(packed):
-    """(..., 8, 128) packed storage -> (..., 32, 32) texel blocks."""
-    return packed.reshape(*packed.shape[:-2], BLOCK, BLOCK)
-
-
-def quad_blocks(packed_run: np.ndarray, g: int) -> np.ndarray:
-    """(g*g, 8, 128) packed mip run -> (g*g, 4, 8, 128) overlapping quads.
-
-    Entry i = packed blocks (i, i+1, i+g, i+g+1) clamped to the run; only
-    entries with bx <= g-2 and by <= g-2 are ever requested (tl ids from
-    patch_geometry), so clamped content is never read.
+    Entry i = blocks (i, i+1, i+g, i+g+1) concatenated along columns,
+    clamped to the run; only entries with bx <= g-2 and by <= g-2 are ever
+    requested (tl ids from patch_geometry), so clamped content is never
+    read.
     """
-    n = packed_run.shape[0]
+    n = blocks.shape[0]
     idx = np.arange(n)
-    quad = np.stack(
+    return np.concatenate(
         [
-            packed_run,
-            packed_run[np.minimum(idx + 1, n - 1)],
-            packed_run[np.minimum(idx + g, n - 1)],
-            packed_run[np.minimum(idx + g + 1, n - 1)],
+            blocks,
+            blocks[np.minimum(idx + 1, n - 1)],
+            blocks[np.minimum(idx + g, n - 1)],
+            blocks[np.minimum(idx + g + 1, n - 1)],
         ],
-        axis=1,
+        axis=2,
     )
-    return quad
 
 
 class PatchPlan(NamedTuple):
@@ -144,9 +134,9 @@ def make_patch_plan(texture_size: int, mip_count: int, border_size: int) -> Patc
 def blocks_from_tile(mips: list[np.ndarray], plan: PatchPlan, channel: int = 0) -> np.ndarray:
     """Host: cut one tile's mip chain into the unified block run for a slot.
 
-    Returns (total_blocks_per_slot, 4, 8, 128) packed block quads in the
-    attachment dtype, ordered mip-major to match :func:`make_patch_plan`
-    offsets.
+    Returns (total_blocks_per_slot, 32, 128) row-interleaved block quads
+    in the attachment dtype, ordered mip-major to match
+    :func:`make_patch_plan` offsets.
     """
     out = []
     for m in range(plan.min_mip, plan.max_mip + 1):
@@ -155,7 +145,7 @@ def blocks_from_tile(mips: list[np.ndarray], plan: PatchPlan, channel: int = 0) 
         blocks = (
             data.reshape(g, BLOCK, g, BLOCK).transpose(0, 2, 1, 3).reshape(-1, BLOCK, BLOCK)
         )
-        out.append(quad_blocks(pack_blocks(blocks), g))
+        out.append(quad_rows(blocks, g))
     return np.concatenate(out, axis=0)
 
 
@@ -246,15 +236,12 @@ def patch_geometry(
 def fetch_patches_xla(block_array, ids):
     """XLA fallback patch assembly: one quad take + concat (F, 64, 64).
 
-    ``block_array`` is (N, 4, 8, 128) packed quad storage (see
-    :func:`quad_blocks`); only ids column 0 (tl) is fetched — tr/bl/br ride
-    along as the quad's other elements.
+    ``block_array`` is (N, 32, 128) row-interleaved quad storage (see
+    :func:`quad_rows`); only ids column 0 (tl) is fetched — tr/bl/br ride
+    along in the quad's lanes.
     """
-    taken = jnp.take(block_array, ids[:, 0], axis=0)  # (F, 4, 8, 128)
-    quad = unpack_blocks(taken).astype(jnp.float32)  # (F, 4, 32, 32)
-    top = jnp.concatenate([quad[:, 0], quad[:, 1]], axis=-1)  # (F, 32, 64)
-    bot = jnp.concatenate([quad[:, 2], quad[:, 3]], axis=-1)
-    return jnp.concatenate([top, bot], axis=-2)
+    q = jnp.take(block_array, ids[:, 0], axis=0).astype(jnp.float32)  # (F, 32, 128)
+    return jnp.concatenate([q[:, :, :64], q[:, :, 64:]], axis=-2)  # (F, 64, 64)
 
 
 def halfgrid_resample(patch, p0, dp, cfg: StaticTerrainConfig):

@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def shard_blocks(mesh: Mesh, block_array, axis: str = "atlas"):
-    """Place a (N, 4, 8, 128) packed quad array sharded on its slot axis."""
+    """Place a (N, 32, 128) row-interleaved quad array sharded on its slot axis."""
     n = mesh.shape[axis]
     N = block_array.shape[0]
     if N % n:
@@ -54,12 +54,9 @@ def fetch_patches_sharded(mesh: Mesh, sharded_blocks, ids, axis: str = "atlas"):
         in_range = (local >= 0) & (local < per_device)
         safe = jnp.clip(local, 0, per_device - 1)
 
-        v = jnp.take(blocks, safe[:, 0], axis=0)  # (F, 4, 8, 128) quads
-        v = v.reshape(v.shape[0], 4, 32, 32).astype(jnp.float32)
-        v = v * in_range[:, 0, None, None, None]
-        top = jnp.concatenate([v[:, 0], v[:, 1]], axis=-1)  # (F, 32, 64)
-        bot = jnp.concatenate([v[:, 2], v[:, 3]], axis=-1)
-        patch = jnp.concatenate([top, bot], axis=-2)  # (F, 64, 64)
+        v = jnp.take(blocks, safe[:, 0], axis=0).astype(jnp.float32)  # (F, 32, 128)
+        v = v * in_range[:, 0, None, None]
+        patch = jnp.concatenate([v[:, :, :64], v[:, :, 64:]], axis=-2)  # (F, 64, 64)
         # one owner per block -> psum reconstructs every patch everywhere
         return jax.lax.psum(patch, axis)
 

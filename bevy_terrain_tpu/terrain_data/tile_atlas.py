@@ -107,13 +107,13 @@ class AtlasAttachment:
             config.texture_size, config.mip_level_count, config.border_size
         )
         if self.patch_plan.usable:
-            # int32 storage as packed overlapping block quads (4, 8, 128) —
+            # int32 storage as row-interleaved block quads (32, 128) —
             # dense i32-native tiles, one 16 KB DMA per tile patch (see
-            # patch_sampling.quad_blocks; the fetch is DMA-count bound).
+            # patch_sampling.quad_rows; the fetch is DMA-count bound).
             # u16 storage costs a whole-array layout copy per frame
             # (measured 2.15 ms). The explicit row-major Format avoids a
             # per-frame relayout (see pallas_kernels.block_format).
-            shape = (atlas_size * self.patch_plan.total_blocks_per_slot, 4, 8, 128)
+            shape = (atlas_size * self.patch_plan.total_blocks_per_slot, 32, 128)
             if jax.default_backend() == "tpu":
                 from bevy_terrain_tpu.ops.pallas_kernels import block_format
 
@@ -218,11 +218,11 @@ class AtlasAttachment:
             for c in range(self.config.format.channels):
                 block_vals = np.stack(
                     [blocks_from_tile(mips, self.patch_plan, c) for _, mips in self._staged]
-                )  # (n, per_slot, 4, 8, 128) packed quads
+                )  # (n, per_slot, 32, 128) row-interleaved quads
                 self.block_arrays[c] = scatter(
                     self.block_arrays[c],
                     jnp.asarray(block_idx.reshape(-1)),
-                    jnp.asarray(block_vals.reshape(-1, 4, 8, 128).astype(np.int32)),
+                    jnp.asarray(block_vals.reshape(-1, 32, 128).astype(np.int32)),
                 )
         n = len(self._staged)
         self._staged.clear()

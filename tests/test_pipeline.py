@@ -204,7 +204,7 @@ class TestShardedAtlas:
         mesh = Mesh(np.array(jax.devices()[:n]), ("atlas",))
         rng = np.random.default_rng(0)
         N, F = 1024, 256
-        blocks = rng.integers(0, 65535, (N, 4, 8, 128)).astype(np.int32)
+        blocks = rng.integers(0, 65535, (N, 32, 128)).astype(np.int32)
         ids = rng.integers(0, N, (F, 4)).astype(np.int32)
 
         import jax.numpy as jnp

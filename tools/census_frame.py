@@ -49,7 +49,7 @@ def main():
     uniforms = make_frame_uniforms(model, view, approx, origins, entries, vt_int, vt_frac, vc)
     plan = patch_sampling.make_patch_plan(TEXTURE_SIZE, 4, BORDER)
     blocks = jnp.asarray(
-        rng.integers(0, 65535, (1024 * plan.total_blocks_per_slot, 4, 8, 128)).astype(np.int32)
+        rng.integers(0, 65535, (1024 * plan.total_blocks_per_slot, 32, 128)).astype(np.int32)
     )
     from bevy_terrain_tpu.ops.pallas_kernels import block_format
 

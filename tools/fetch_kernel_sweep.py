@@ -28,8 +28,8 @@ def main():
     rng = np.random.default_rng(0)
     N, F = int(sys.argv[2]) if len(sys.argv) > 2 else 4096, 8192
     g = 8  # pretend one mip of g*g blocks per run for quad adjacency
-    blocks = ps.quad_blocks(
-        ps.pack_blocks(rng.integers(0, 30000, size=(N, 32, 32)).astype(np.int32)), g
+    blocks = ps.quad_rows(
+        rng.integers(0, 30000, size=(N, 32, 32)).astype(np.int32), g
     )
     tl = rng.integers(0, N - g - 2, size=(F,)).astype(np.int32)
     ids = np.stack([tl, tl + 1, tl + g, tl + g + 1], axis=-1).astype(np.int32)
