@@ -90,7 +90,7 @@ def generate_mesh_grid(
     t_xy = tiles.tile_xy[:F]
 
     # --- per-tile blend target + atlas entries (2 tiny takes) ---
-    t0, flat0, flat1 = ps.per_tile_lookup(t_side, t_lod, t_xy, uniforms, cfg)
+    t0, center_ratio, flat0, flat1 = ps.per_tile_lookup(t_side, t_lod, t_xy, uniforms, cfg)
     entries_flat = uniforms.entries.reshape(-1, 2)
     e0 = jnp.take(entries_flat, flat0, axis=0)  # (F, 2): atlas_index, atlas_lod
     a_idx = e0[:, 0]
@@ -104,16 +104,23 @@ def generate_mesh_grid(
     # --- patch fetch + half-grid heights ---
     ids, p0, dp = ps.patch_geometry(a_idx, t_lod, a_lod, window_uv, plan, cfg)
     valid = (a_idx >= 0).astype(jnp.float32)
+    # blend toward the coarser data lod by crossfading the RESAMPLE WEIGHTS
+    # with their 1-2-1-smoothed form at the tile-center ratio (see
+    # halfgrid_resample) — no second fetch, no smoothing passes over the
+    # half-grid in HBM
+    ratio = center_ratio if cfg.blend else jnp.zeros_like(center_ratio)
     if cfg.pallas_sampling and cfg.grid_size == 16:
         from bevy_terrain_tpu.ops import pallas_kernels
 
-        geom = jnp.stack([p0[:, 0], p0[:, 1], dp, valid], axis=-1)
-        half = pallas_kernels.fetch_resample(block_array, ids, geom) / max_value
+        zero = jnp.zeros_like(dp)
+        geom = jnp.stack(
+            [p0[:, 0], p0[:, 1], dp, valid, ratio, zero, zero, zero], axis=-1
+        )
+        h_mix = pallas_kernels.fetch_resample(block_array, ids, geom) / max_value
     else:
         patch = ps.fetch_patches_xla(block_array, ids)
-        half = ps.halfgrid_resample(patch, p0, dp, cfg) / max_value
-        half = half * valid[:, None, None]
-    half_coarse = ps.smooth_halfgrid(half)
+        h_mix = ps.halfgrid_resample(patch, p0, dp, cfg, ratio=ratio) / max_value
+        h_mix = h_mix * valid[:, None, None]
 
     # --- per-vertex geometry on the grid layout (vertex.wgsl:30-71) ---
     # computed on a FLAT (F, (G+1)^2) layout: a minor dim of G+1=17 pads to
@@ -161,18 +168,11 @@ def generate_mesh_grid(
         morph_world = jnp.where(high_precision[..., None], hp_world, morph_world)
         morph_normal = jnp.where(high_precision[..., None], normal, morph_normal)
 
-    # --- heights: blend the smoothed (coarser-lod) half-grid in by the
-    # tile-center ratio, then interpolate once at the morphed uv. The
-    # crossfade ratio varies by <= ~0.2 within one tile (the blend zone is
-    # many tiles wide), so a per-tile ratio halves the window-interpolation
-    # work for an invisible quantization of the fade ---
+    # --- heights: interpolate the (already blend-crossfaded) half-grid
+    # once at the morphed uv. The crossfade ratio varies by <= ~0.2 within
+    # one tile (the blend zone is many tiles wide), so the per-tile-center
+    # ratio used above quantizes the fade invisibly ---
     morphed_grid = morphed_uv.reshape(F, G + 1, G + 1, 2)
-    blend_lod, blend_ratio = coords.compute_blend(view_distance, uniforms, cfg)
-    if cfg.blend:
-        center_ratio = blend_ratio.reshape(F, G + 1, G + 1)[:, G // 2, G // 2]
-        h_mix = half + (half_coarse - half) * center_ratio[:, None, None]
-    else:
-        h_mix = half
     h_norm = ps.vertex_values_from_halfgrid(h_mix, morphed_grid, cfg).reshape(F, NV)
     height = uniforms.min_height + (uniforms.max_height - uniforms.min_height) * h_norm
 

@@ -78,17 +78,31 @@ def _kernel(ids_ref, geom_ref, *refs):
         p0y = geom_ref[0, t, 1]
         dp = geom_ref[0, t, 2]
         valid = geom_ref[0, t, 3]
-        px = jnp.clip(p0x + k * dp, 0.0, P - 1.0)
-        py = jnp.clip(p0y + k * dp, 0.0, P - 1.0)
-        wx = jnp.maximum(0.0, 1.0 - jnp.abs(px - r))  # (K, P)
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(py - r))
+        ratio = geom_ref[0, t, 4]
+
+        # Blend toward the coarser data lod by crossfading the tent weights
+        # with their 1-2-1-smoothed form (S@w has the closed form
+        # 0.25 t(p-dp) + 0.5 t(p) + 0.25 t(p+dp), boundary rows duplicate)
+        # — the coarse sample costs three extra tent evaluations on the VPU
+        # instead of two extra MXU dots (+0.52 ms measured) or XLA
+        # smoothing passes over the half-grid in HBM (~0.7 ms).
+        def weights(p0):
+            def tent(koff):
+                p = jnp.clip(p0 + (k + koff) * dp, 0.0, P - 1.0)
+                return jnp.maximum(0.0, 1.0 - jnp.abs(p - r))  # (K, P)
+
+            w = tent(0.0)
+            wm = jnp.where(k == 0.0, w, tent(-1.0))
+            wp = jnp.where(k == K - 1.0, w, tent(1.0))
+            w2 = 0.25 * wm + 0.5 * w + 0.25 * wp
+            return w + (w2 - w) * ratio
+
+        wx = weights(p0x)
+        wy = weights(p0y)
         # Default (bf16-pass) MXU precision: quantizes 16-bit height data by
         # ~0.2% of range, same as the XLA einsum fallback and within the
         # fast path's documented band-limit tolerance. Measured and
-        # rejected: HIGHEST (3-pass f32) = 3.2x kernel cost; folding the
-        # 1-2-1 blend smoothing in as two extra (33,33) dots per tile =
-        # +0.52 ms (MXU fixed per-dot overhead dominates tiny dots) — the
-        # XLA elementwise smoothing over HBM costs the same and keeps f32.
+        # rejected: HIGHEST (3-pass f32) = 3.2x kernel cost.
         rows = jnp.dot(wy, patch, preferred_element_type=jnp.float32)  # (K, P)
         half = jnp.dot(rows, wx.T, preferred_element_type=jnp.float32)  # (K, K)
         out_ref[t] = half * valid
@@ -109,9 +123,12 @@ def fetch_resample(block_array, ids, geom, interpret: bool = False):
       ids: (F, 4) i32 flat block indices (tl, tr, bl, br); quad adjacency
         (tr == tl+1, bl == tl+g) is guaranteed by patch_geometry's bx/by
         clamp, so only column 0 drives the loads.
-      geom: (F, 4) f32 = (p0x, p0y, dp, valid) per tile.
+      geom: (F, 8) f32 = (p0x, p0y, dp, valid, blend_ratio, 0, 0, 0) per
+        tile; blend_ratio crossfades the resample weights toward their
+        1-2-1-smoothed form (the coarser data lod's sample).
 
-    Returns (F, 33, 33) f32 half-grid values (raw texel scale).
+    Returns (F, 33, 33) f32 half-grid values (raw texel scale), already
+    blend-crossfaded.
     """
     F = ids.shape[0]
     if F > CHUNK:
@@ -157,7 +174,7 @@ def _fetch_resample_chunk(block_array, ids, geom, interpret: bool = False):
         grid=(steps,),
         in_specs=[
             pl.BlockSpec(
-                (1, T, 4), lambda i, ids_ref: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, T, 8), lambda i, ids_ref: (i, 0, 0), memory_space=pltpu.VMEM
             ),
         ]
         + [spec(t) for t in range(T)],
@@ -170,5 +187,5 @@ def _fetch_resample_chunk(block_array, ids, geom, interpret: bool = False):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Fp, K, K), jnp.float32),
         interpret=interpret,
-    )(ids, geom.reshape(steps, T, 4), *([block_array] * T))
+    )(ids, geom.reshape(steps, T, 8), *([block_array] * T))
     return out[:F] if Fp != F else out

@@ -158,14 +158,14 @@ def per_tile_lookup(tiles_side, tiles_lod, tiles_xy, uniforms, cfg: StaticTerrai
     """Per-tile blend target + atlas entry for targets {t0, t0-1}.
 
     Mirrors the per-vertex lookup_tile chain (functions.wgsl:232-246) at
-    tile granularity. Returns dict with per-target (atlas_index, atlas_lod)
-    plus the tile-center blend lod t0.
+    tile granularity. Returns (t0, tile-center blend ratio, entry flat
+    index at t0, entry flat index at t0 - 1).
     """
     center_uv = jnp.full(tiles_xy.shape, 0.5, jnp.float32)
     dist = coords.approximate_view_distance(
         tiles_side, tiles_lod, tiles_xy, center_uv, uniforms, cfg
     )
-    blend_lod, _ = coords.compute_blend(dist, uniforms, cfg)
+    blend_lod, blend_ratio = coords.compute_blend(dist, uniforms, cfg)
     t0 = jnp.minimum(blend_lod, tiles_lod)
 
     def entry_at(target):
@@ -179,7 +179,7 @@ def per_tile_lookup(tiles_side, tiles_lod, tiles_xy, uniforms, cfg: StaticTerrai
         ) * cfg.tree_size + tree_xy[..., 1]
         return flat
 
-    return t0, entry_at(t0), entry_at(jnp.maximum(t0 - 1, 0))
+    return t0, blend_ratio, entry_at(t0), entry_at(jnp.maximum(t0 - 1, 0))
 
 
 def patch_geometry(
@@ -244,22 +244,43 @@ def fetch_patches_xla(block_array, ids):
     return jnp.concatenate([q[:, :, :64], q[:, :, 64:]], axis=-2)  # (F, 64, 64)
 
 
-def halfgrid_resample(patch, p0, dp, cfg: StaticTerrainConfig):
+def halfgrid_resample(patch, p0, dp, cfg: StaticTerrainConfig, ratio=None):
     """Exact bilinear of the patch at the (HG+1)^2 half-grid points, as two
     batched tent-weight matmuls (MXU). Returns (F, HG+1, HG+1) f32 (raw
-    texel values; caller normalizes)."""
+    texel values; caller normalizes).
+
+    With ``ratio`` (per-tile blend fraction toward the coarser data lod),
+    the tent weights are crossfaded toward their 1-2-1-smoothed form:
+    S @ (wy @ patch @ wx.T) @ S == (S@wy) @ patch @ (S@wx).T and S@w has
+    the closed form 0.25 t(p-dp) + 0.5 t(p) + 0.25 t(p+dp) (clamped rows
+    duplicate the boundary), so the coarse-lod sample costs no extra
+    matmuls. Blending the weights instead of the values differs from the
+    reference's value crossfade only at second order in the smoothing
+    delta (the 1-2-1 coarse sample is itself a documented approximation
+    of the next mip).
+    """
     HG = 2 * cfg.grid_size
-    k = jnp.arange(HG + 1, dtype=jnp.float32)  # (K,)
+    K = HG + 1
+    k = jnp.arange(K, dtype=jnp.float32)  # (K,)
     r = jnp.arange(64, dtype=jnp.float32)  # (P,)
 
-    def tent_weights(start_1d):
+    def tents(start_1d, koff):
         # (F, K, P): hat function -> exact bilinear with clamp-to-edge
-        p = start_1d[:, None] + k[None, :] * dp[:, None]  # (F, K)
+        p = start_1d[:, None] + (k[None, :] + koff) * dp[:, None]  # (F, K)
         p = jnp.clip(p, 0.0, 63.0)
         return jnp.maximum(0.0, 1.0 - jnp.abs(p[..., None] - r))  # (F, K, P)
 
-    wx = tent_weights(p0[:, 0])
-    wy = tent_weights(p0[:, 1])
+    def weights(start_1d):
+        w = tents(start_1d, 0.0)
+        if ratio is None:
+            return w
+        wm = jnp.where((k == 0)[None, :, None], w, tents(start_1d, -1.0))
+        wp = jnp.where((k == K - 1)[None, :, None], w, tents(start_1d, 1.0))
+        w2 = 0.25 * wm + 0.5 * w + 0.25 * wp
+        return w + (w2 - w) * ratio[:, None, None]
+
+    wx = weights(p0[:, 0])
+    wy = weights(p0[:, 1])
     # rows: (F, K, P) @ (F, P, P) -> (F, K, P); cols -> (F, K, K)
     rows = jnp.einsum("fkp,fpq->fkq", wy, patch, preferred_element_type=jnp.float32)
     return jnp.einsum("fkq,flq->fkl", rows, wx, preferred_element_type=jnp.float32)
@@ -348,7 +369,7 @@ def sample_attachment_vertices(
     t_lod = jnp.maximum(tiles.tile_lod[:F], 0)
     t_xy = tiles.tile_xy[:F]
 
-    _, flat0, _ = per_tile_lookup(t_side, t_lod, t_xy, uniforms, cfg)
+    _, _, flat0, _ = per_tile_lookup(t_side, t_lod, t_xy, uniforms, cfg)
     entries_flat = uniforms.entries.reshape(-1, 2)
     e0 = jnp.take(entries_flat, flat0, axis=0)
     a_idx = e0[:, 0]
@@ -364,7 +385,10 @@ def sample_attachment_vertices(
         if cfg.pallas_sampling and cfg.grid_size == 16:
             from bevy_terrain_tpu.ops import pallas_kernels
 
-            geom = jnp.stack([p0[:, 0], p0[:, 1], dp, valid], axis=-1)
+            zero = jnp.zeros_like(dp)  # attachments sample one lod: ratio 0
+            geom = jnp.stack(
+                [p0[:, 0], p0[:, 1], dp, valid, zero, zero, zero, zero], axis=-1
+            )
             half = pallas_kernels.fetch_resample(block_array, ids, geom) / max_value
         else:
             patch = fetch_patches_xla(block_array, ids)

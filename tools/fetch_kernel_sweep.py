@@ -38,6 +38,8 @@ def main():
             rng.uniform(0, 30, size=(F, 2)).astype(np.float32),
             rng.uniform(0.5, 1.0, size=(F, 1)).astype(np.float32),
             np.ones((F, 1), np.float32),
+            rng.uniform(0.0, 1.0, size=(F, 1)).astype(np.float32),  # blend ratio
+            np.zeros((F, 3), np.float32),
         ],
         axis=1,
     )
@@ -62,7 +64,10 @@ def main():
     )
     patch = ps.fetch_patches_xla(jnp.asarray(blocks), jnp.asarray(ids))
     want = np.asarray(
-        ps.halfgrid_resample(patch, jnp.asarray(geom[:, :2]), jnp.asarray(geom[:, 2]), cfg_like)
+        ps.halfgrid_resample(
+            patch, jnp.asarray(geom[:, :2]), jnp.asarray(geom[:, 2]), cfg_like,
+            ratio=jnp.asarray(geom[:, 4]),
+        )
     )
     err = np.max(np.abs(out - want))
     print(f"tps={tps} max |pallas - xla| = {err:.6f}")
