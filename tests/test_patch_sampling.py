@@ -240,3 +240,90 @@ class TestSeamContinuity:
             checked += 1
         if checked == 0:
             pytest.skip("no cross-lod right-edge boundaries in this frame")
+
+
+class TestQuadRows:
+    def test_layout_and_adjacency(self):
+        """quad_rows entry i holds blocks (i, i+1, i+g, i+g+1) as lane
+        groups Q[r, 32q+c] (the one-DMA patch layout)."""
+        from bevy_terrain_tpu.ops.patch_sampling import quad_rows
+
+        rng = np.random.default_rng(3)
+        g = 4
+        blocks = rng.integers(0, 1000, (g * g, 32, 32)).astype(np.int32)
+        quads = quad_rows(blocks, g)
+        assert quads.shape == (g * g, 32, 128)
+        for bx in range(g - 1):
+            for by in range(g - 1):
+                i = by * g + bx
+                np.testing.assert_array_equal(quads[i, :, 0:32], blocks[i])
+                np.testing.assert_array_equal(quads[i, :, 32:64], blocks[i + 1])
+                np.testing.assert_array_equal(quads[i, :, 64:96], blocks[i + g])
+                np.testing.assert_array_equal(quads[i, :, 96:128], blocks[i + g + 1])
+
+    def test_fetch_assembles_patch(self):
+        from bevy_terrain_tpu.ops.patch_sampling import fetch_patches_xla, quad_rows
+
+        rng = np.random.default_rng(4)
+        g = 4
+        blocks = rng.integers(0, 1000, (g * g, 32, 32)).astype(np.int32)
+        quads = jnp.asarray(quad_rows(blocks, g))
+        tl = 1 * g + 1  # interior block
+        ids = np.array([[tl, tl + 1, tl + g, tl + g + 1]], np.int32)
+        patch = np.asarray(fetch_patches_xla(quads, jnp.asarray(ids)))[0]
+        want = np.block([[blocks[tl], blocks[tl + 1]], [blocks[tl + g], blocks[tl + g + 1]]])
+        np.testing.assert_array_equal(patch, want.astype(np.float32))
+
+
+class TestWeightBlend:
+    def _setup(self):
+        from bevy_terrain_tpu.ops.params import StaticTerrainConfig
+
+        cfg = StaticTerrainConfig(
+            spherical=False, side_count=1, lod_count=1, tree_size=1, grid_size=16,
+            refinement_count=1, queue_capacity=8, tile_capacity=8, origin_lod=0,
+        )
+        rng = np.random.default_rng(5)
+        F = 8
+        patch = jnp.asarray(rng.uniform(0, 100, (F, 64, 64)).astype(np.float32))
+        p0 = jnp.asarray(rng.uniform(5, 25, (F, 2)).astype(np.float32))
+        dp = jnp.asarray(rng.uniform(0.5, 1.0, (F,)).astype(np.float32))
+        return cfg, patch, p0, dp
+
+    def test_ratio_zero_is_plain_bilinear(self):
+        from bevy_terrain_tpu.ops.patch_sampling import halfgrid_resample
+
+        cfg, patch, p0, dp = self._setup()
+        plain = halfgrid_resample(patch, p0, dp, cfg)
+        zero = halfgrid_resample(patch, p0, dp, cfg, ratio=jnp.zeros(patch.shape[0]))
+        np.testing.assert_allclose(np.asarray(plain), np.asarray(zero), rtol=1e-6)
+
+    def test_ratio_one_equals_value_space_smoothing(self):
+        """S@(wy patch wx.T)@S == (S@wy) patch (S@wx).T — the closed-form
+        smoothed tents reproduce smooth_halfgrid exactly at ratio 1."""
+        from bevy_terrain_tpu.ops.patch_sampling import halfgrid_resample, smooth_halfgrid
+
+        cfg, patch, p0, dp = self._setup()
+        plain = halfgrid_resample(patch, p0, dp, cfg)
+        want = np.asarray(smooth_halfgrid(plain))
+        got = np.asarray(
+            halfgrid_resample(patch, p0, dp, cfg, ratio=jnp.ones(patch.shape[0]))
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-3)
+
+
+class TestTakeSideRows:
+    def test_matches_direct_indexing(self):
+        from bevy_terrain_tpu.ops.coords import take_side_rows
+
+        rng = np.random.default_rng(6)
+        for tail in [(2,), (3,), (3, 3)]:
+            table = jnp.asarray(rng.uniform(-1, 1, (6, *tail)).astype(np.float32))
+            side = jnp.asarray(rng.integers(0, 6, (5, 7)).astype(np.int32))
+            got = np.asarray(take_side_rows(table, side, 6))
+            want = np.asarray(table)[np.asarray(side)]
+            np.testing.assert_array_equal(got, want)
+        # planar: broadcast of row 0 regardless of side values
+        table = jnp.asarray(rng.uniform(-1, 1, (6, 2)).astype(np.float32))
+        got = np.asarray(take_side_rows(table, jnp.zeros((4,), jnp.int32), 1))
+        np.testing.assert_array_equal(got, np.broadcast_to(np.asarray(table)[0], (4, 2)))
