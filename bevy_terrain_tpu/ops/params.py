@@ -146,13 +146,15 @@ def pack_frame_uniforms(
     view_tile_int: np.ndarray,
     view_tile_frac: np.ndarray,
     view_config,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Pack all per-frame uniforms into two host blobs (one f32, one i32).
+) -> np.ndarray:
+    """Pack all per-frame uniforms into ONE host int32 blob.
 
-    Each device_put is a latency-bound host->device transfer; the ~20 small
-    arrays of FrameUniforms cost tens of ms per frame through a tunneled
-    TPU. Two blobs -> two transfers; :func:`unpack_frame_uniforms` rebuilds
-    the pytree inside the jitted step for free.
+    Each device_put is a latency-bound host->device transfer (~0.27 ms
+    through the tunneled TPU); the ~20 small arrays of FrameUniforms would
+    cost tens of ms per frame. The f32 section is bitcast to int32 on the
+    host and bitcast back in-trace — one transfer total.
+    :func:`unpack_frame_uniforms` rebuilds the pytree inside the jitted
+    step for free.
     """
     scale = model.scale
     m = np.asarray(model.world_from_local, np.float64)
@@ -197,12 +199,22 @@ def pack_frame_uniforms(
             np.asarray(entries, np.int32).ravel(),
         ]
     )
-    return f32, i32
+    return np.concatenate([f32.view(np.int32), i32])
 
 
-def unpack_frame_uniforms(f32, i32, side_count: int, lod_count: int,
+def packed_f32_count(side_count: int, lod_count: int) -> int:
+    """Length of the f32 section inside the packed uniform blob."""
+    return 3 + 11 + 12 + 9 + 12 + 6 * 18 + side_count * lod_count * 2
+
+
+def unpack_frame_uniforms(blob, side_count: int, lod_count: int,
                           tree_size: int) -> FrameUniforms:
-    """Rebuild FrameUniforms from the packed blobs (jit-traceable slicing)."""
+    """Rebuild FrameUniforms from the packed blob (jit-traceable slicing)."""
+    nf = packed_f32_count(side_count, lod_count)
+    f32 = jax.lax.bitcast_convert_type(
+        jax.lax.dynamic_slice_in_dim(blob, 0, nf), jnp.float32
+    )
+    i32 = jax.lax.dynamic_slice_in_dim(blob, nf, blob.shape[0] - nf)
     o = 0
 
     def take_f(n, shape=None):

@@ -77,7 +77,7 @@ class Terrain:
         if jax.default_backend() == "tpu" and self.atlas.attachments:
             fmt = getattr(self.atlas.attachments[0], "block_format", None)
             if fmt is not None:
-                grid_in_shardings = (fmt, None, None)
+                grid_in_shardings = (fmt, None)
         static_names = ("cfg", "plan", "max_value", "shade_opts", "material")
         if grid_in_shardings is not None:
             self._step_grid = jax.jit(
@@ -161,13 +161,13 @@ class Terrain:
         return tiles, mesh
 
     @staticmethod
-    def _frame_step_grid(block_array, f32_blob, i32_blob,
+    def _frame_step_grid(block_array, uniform_blob,
                          cfg: StaticTerrainConfig, plan, max_value: float,
                          shade_opts=None, material=None):
         # single packed host->device transfer per frame (20 small uploads
         # cost tens of ms of latency through a tunneled TPU)
         uniforms = unpack_frame_uniforms(
-            f32_blob, i32_blob, cfg.side_count, cfg.lod_count, cfg.tree_size
+            uniform_blob, cfg.side_count, cfg.lod_count, cfg.tree_size
         )
         tiles = refinement.refine_tiles(uniforms, cfg)
         mesh = meshgen.generate_mesh_grid(
@@ -212,26 +212,24 @@ class Terrain:
             height = self.atlas.attachments[0]
             colors = None
             if self.use_grid_mesh:
-                f32_blob, i32_blob = pack_frame_uniforms(
+                blob = pack_frame_uniforms(
                     self.config.model, pos, approx, tree.origins, tree.entries,
                     tree.view_tile_int, tree.view_tile_frac,
                     self.view_configs[view_id],
                 )
                 cfg_s = self._static_cfgs[view_id]
-                f32_dev = jax.numpy.asarray(f32_blob)
-                i32_dev = jax.numpy.asarray(i32_blob)
+                blob_dev = jax.numpy.asarray(blob)  # ONE transfer per frame
                 # positional args: pjit rejects kwargs with in_shardings
                 tiles, mesh, colors = self._step_grid(
                     height.block_array,
-                    f32_dev,
-                    i32_dev,
+                    blob_dev,
                     cfg_s,
                     height.patch_plan,
                     height.config.format.max_value,
                     self._shade_opts,
                     self.shading_fn,
                 )
-                uniforms = (f32_dev, i32_dev)  # packed; unpacked inside jits
+                uniforms = blob_dev  # packed; unpacked inside jits
             else:
                 uniforms = make_frame_uniforms(
                     self.config.model,
@@ -267,25 +265,24 @@ class Terrain:
         if not self.use_grid_mesh:
             raise RuntimeError("sample_attachment_grid requires the grid mesh path")
         attachment = self.atlas.attachments[attachment_index]
-        f32_dev, i32_dev = self._last_uniforms[view_id]
+        blob_dev = self._last_uniforms[view_id]
         return self._sample_grid(
             tuple(attachment.block_arrays),
             frame_output.tiles,
             frame_output.mesh.uvs,
-            f32_dev,
-            i32_dev,
+            blob_dev,
             self._static_cfgs[view_id],
             attachment.patch_plan,
             attachment.config.format.max_value,
         )
 
     @staticmethod
-    @partial(jax.jit, static_argnums=(5, 6, 7))
-    def _sample_grid(block_arrays, tiles, uvs, f32_blob, i32_blob, cfg, plan, max_value):
+    @partial(jax.jit, static_argnums=(4, 5, 6))
+    def _sample_grid(block_arrays, tiles, uvs, uniform_blob, cfg, plan, max_value):
         from bevy_terrain_tpu.ops.patch_sampling import sample_attachment_vertices
 
         uniforms = unpack_frame_uniforms(
-            f32_blob, i32_blob, cfg.side_count, cfg.lod_count, cfg.tree_size
+            uniform_blob, cfg.side_count, cfg.lod_count, cfg.tree_size
         )
         return sample_attachment_vertices(
             list(block_arrays), tiles, uvs, uniforms, cfg, plan, max_value
