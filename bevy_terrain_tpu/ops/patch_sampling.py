@@ -11,10 +11,10 @@ that only ever fetches at *tile* granularity:
    geometry lods (blend_distance 2 << morph_distance 16, terrain_view.rs),
    so a whole tile maps into one tile-tree cell at the blend lod.
 2. **Blocked patch fetch** — attachment mips >= 1 are stored as a single
-   unified array of (32, 32) blocks; each tile fetches the 2x2 block
-   neighborhood covering its uv window at the mip whose texel density
-   matches the vertex half-grid (~= GPU vertex texture fetch with explicit
-   LOD). Four ``take``s of 2 KB blocks per tile — the only dynamic fetch.
+   unified array of row-interleaved 2x2 block quads; each tile fetches the
+   quad covering its uv window at the mip whose texel density matches the
+   vertex half-grid (~= GPU vertex texture fetch with explicit LOD). ONE
+   16 KB quad load per tile — the only dynamic fetch.
 3. **Tent-weight resample (MXU)** — the 33x33 half-grid heights of the
    tile are two small batched matmuls with tent (hat) weight matrices:
    exact bilinear interpolation of the patch evaluated at the half-grid.
@@ -24,8 +24,9 @@ that only ever fetches at *tile* granularity:
    elementwise 9-tap weighted sum over strided slices. No gather.
 
 The blend between two data lods samples the coarse lod from the same patch
-via a 1-2-1 smoothing of the half-grid (equivalent to the next mip's
-bilinear up to the mipmap box filter), saving the second fetch round; and
+by crossfading the resample weights toward their 1-2-1-smoothed closed
+form (equivalent to the next mip's bilinear up to the mipmap box filter),
+saving both the second fetch round and any smoothing pass; and
 the morphed vertex positions interpolate the half-grid rather than raw
 texels (band-limited to 2x the vertex density — detail beyond that cannot
 be represented by the mesh anyway). The per-vertex-gather path
