@@ -107,8 +107,15 @@ def generate_mesh_grid(
     # blend toward the coarser data lod by crossfading the RESAMPLE WEIGHTS
     # with their 1-2-1-smoothed form at the tile-center ratio (see
     # halfgrid_resample) — no second fetch, no smoothing passes over the
-    # half-grid in HBM
-    ratio = center_ratio if cfg.blend else jnp.zeros_like(center_ratio)
+    # half-grid in HBM. blend_per_vertex instead fetches the plain
+    # half-grid and value-mixes two window interpolations below (the
+    # reference's per-vertex crossfade; tighter cross-lod seams, ~+1 ms).
+    per_vertex = cfg.blend and cfg.blend_per_vertex
+    ratio = (
+        center_ratio
+        if cfg.blend and not per_vertex
+        else jnp.zeros_like(center_ratio)
+    )
     if cfg.pallas_sampling and cfg.grid_size == 16:
         from bevy_terrain_tpu.ops import pallas_kernels
 
@@ -121,6 +128,8 @@ def generate_mesh_grid(
         patch = ps.fetch_patches_xla(block_array, ids)
         h_mix = ps.halfgrid_resample(patch, p0, dp, cfg, ratio=ratio) / max_value
         h_mix = h_mix * valid[:, None, None]
+    if per_vertex:
+        h_coarse = ps.smooth_halfgrid(h_mix)
 
     # --- per-vertex geometry on the grid layout (vertex.wgsl:30-71) ---
     # computed on a FLAT (F, (G+1)^2) layout: a minor dim of G+1=17 pads to
@@ -171,9 +180,17 @@ def generate_mesh_grid(
     # --- heights: interpolate the (already blend-crossfaded) half-grid
     # once at the morphed uv. The crossfade ratio varies by <= ~0.2 within
     # one tile (the blend zone is many tiles wide), so the per-tile-center
-    # ratio used above quantizes the fade invisibly ---
+    # ratio used above quantizes the fade invisibly; blend_per_vertex
+    # mixes fine and smoothed interpolations by the per-vertex ratio
+    # instead (fragment.wgsl-style crossfade) ---
     morphed_grid = morphed_uv.reshape(F, G + 1, G + 1, 2)
     h_norm = ps.vertex_values_from_halfgrid(h_mix, morphed_grid, cfg).reshape(F, NV)
+    if per_vertex:
+        _, v_ratio = coords.compute_blend(view_distance, uniforms, cfg)
+        h_coarse_v = ps.vertex_values_from_halfgrid(
+            h_coarse, morphed_grid, cfg
+        ).reshape(F, NV)
+        h_norm = h_norm + (h_coarse_v - h_norm) * v_ratio
     height = uniforms.min_height + (uniforms.max_height - uniforms.min_height) * h_norm
 
     positions = morph_world + height[..., None] * morph_normal

@@ -48,6 +48,11 @@ class StaticTerrainConfig:
     # pipeline flags (reference terrain_material.rs:174-227)
     morph: bool = True
     blend: bool = True
+    # apply the blend ratio per vertex (the reference's crossfade,
+    # fragment.wgsl blend) instead of per tile center: tighter cross-lod
+    # seams at ~+1 ms/frame at 8192 tiles (value-space mixing of two
+    # half-grids + a second window interpolation)
+    blend_per_vertex: bool = False
     high_precision: bool = False
     sample_grad: bool = True
     tile_tree_lod: bool = False  # lookup_best walk instead of blend lod

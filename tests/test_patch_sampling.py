@@ -327,3 +327,66 @@ class TestTakeSideRows:
         table = jnp.asarray(rng.uniform(-1, 1, (6, 2)).astype(np.float32))
         got = np.asarray(take_side_rows(table, jnp.zeros((4,), jnp.int32), 1))
         np.testing.assert_array_equal(got, np.broadcast_to(np.asarray(table)[0], (4, 2)))
+
+
+class TestPerVertexBlend:
+    def test_per_vertex_blend_runs_and_tightens_seams(self, tmp_path):
+        """blend_per_vertex applies the reference's per-vertex crossfade
+        (fragment.wgsl blend) instead of the per-tile-center ratio; heights
+        stay valid, the flag changes blend-zone output, and coincident
+        vertices stay within the band-limit tolerance in both modes."""
+        root = tmp_path
+        attachment = AttachmentConfig(
+            name="height", texture_size=512, border_size=2, mip_level_count=4,
+            format=AttachmentFormat.R16,
+        )
+        generate_planar_dataset("terrains/pv", 3, attachment,
+                                height_fn=smooth_field, root=str(root))
+        config = TerrainConfig(
+            lod_count=3,
+            model=TerrainModel.planar(np.zeros(3), 1000.0, 0.0, 100.0),
+            atlas_size=128, path="terrains/pv", attachments=(attachment,),
+            assets_root=str(root),
+        )
+
+        def spread(out):
+            mask = np.asarray(out.mesh.tile_mask)
+            pos = np.asarray(out.mesh.positions)[mask].reshape(-1, 3)
+            key = np.round(pos[:, [0, 2]] * 64).astype(np.int64)
+            flat = key[:, 0] * 10_000_019 + key[:, 1]
+            order = np.argsort(flat, kind="stable")
+            fs, ys = flat[order], pos[order, 1]
+            grp = np.flatnonzero(np.diff(fs) != 0)
+            starts = np.concatenate([[0], grp + 1])
+            ends = np.concatenate([grp + 1, [len(fs)]])
+            sp = [ys[a:b].max() - ys[a:b].min() for a, b in zip(starts, ends) if b - a > 1]
+            return pos, float(np.percentile(sp, 99)) if sp else (pos, 0.0)
+
+        view = np.array([60.0, 40.0, -40.0])
+
+        def run(**overrides):
+            terrain = Terrain(config)
+            terrain.add_view("cam", TerrainViewConfig(tile_capacity=1024),
+                             queue_capacity=4096, **overrides)
+            for _ in range(30):
+                out = terrain.update({"cam": view})
+                if not terrain.atlas.state.to_load and not any(
+                    a.loading for a in terrain.atlas.attachments
+                ):
+                    break
+                time.sleep(0.01)
+            return terrain.update({"cam": view})["cam"]
+
+        out_tile = run()
+        out_vert = run(blend_per_vertex=True)
+        pos_t, p99_t = spread(out_tile)
+        pos_v, p99_v = spread(out_vert)
+        assert np.isfinite(pos_v).all()
+        # heights must stay in range and close to the per-tile mode
+        diff = np.abs(pos_v[:, 1] - pos_t[:, 1])
+        assert diff.max() < 5.0
+        # the flag takes effect (crossfade differs inside blend zones)
+        assert diff.max() > 1e-5
+        # both modes keep coincident vertices within the documented
+        # band-limit tolerance (0.1% of the 100 m range)
+        assert p99_t < 0.1 and p99_v < 0.1, (p99_t, p99_v)
