@@ -54,6 +54,11 @@ class StaticTerrainConfig:
     # half-grids + a second window interpolation)
     blend_per_vertex: bool = False
     high_precision: bool = False
+    # SAMPLE_GRAD exists in the reference for screen-space-gradient mip
+    # selection in the fragment stage; the per-vertex model has no screen
+    # derivatives — the equivalent (mip matched to vertex density) is
+    # built into patch_geometry, so the flag is accepted for config parity
+    # but has no further effect
     sample_grad: bool = True
     tile_tree_lod: bool = False  # lookup_best walk instead of blend lod
     # use the hand-written Pallas fetch+resample kernel for height patches

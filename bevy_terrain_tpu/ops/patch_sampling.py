@@ -167,7 +167,19 @@ def per_tile_lookup(tiles_side, tiles_lod, tiles_xy, uniforms, cfg: StaticTerrai
         tiles_side, tiles_lod, tiles_xy, center_uv, uniforms, cfg
     )
     blend_lod, blend_ratio = coords.compute_blend(dist, uniforms, cfg)
-    t0 = jnp.minimum(blend_lod, tiles_lod)
+    if cfg.tile_tree_lod:
+        # TILE_TREE_LOD shader def (functions.wgsl:232-246 #ifdef branch):
+        # take the deepest tree window containing the coordinate instead of
+        # the computed blend lod. Debug/diagnostic mode — the lookup_best
+        # walk gathers tiny per-lod origin tables per lane, so it costs
+        # more than the default path.
+        _, walk_lod, _, _ = coords.lookup_best(
+            uniforms.entries, uniforms.origins, tiles_side, tiles_lod,
+            tiles_xy, center_uv, cfg,
+        )
+        t0 = jnp.minimum(walk_lod, tiles_lod)
+    else:
+        t0 = jnp.minimum(blend_lod, tiles_lod)
 
     def entry_at(target):
         target_c = jnp.clip(target, 0, cfg.lod_count - 1)

@@ -390,3 +390,31 @@ class TestPerVertexBlend:
         # both modes keep coincident vertices within the documented
         # band-limit tolerance (0.1% of the 100 m range)
         assert p99_t < 0.1 and p99_v < 0.1, (p99_t, p99_v)
+
+
+class TestTileTreeLodMode:
+    def test_tile_tree_lod_walk_produces_valid_frame(self, big_terrain, tmp_path):
+        """TILE_TREE_LOD (functions.wgsl:232-246 #ifdef): data lod from the
+        deepest containing tree window instead of the blend lod."""
+        terrain, view, _ = big_terrain
+        terrain.add_view("walk", TerrainViewConfig(tile_capacity=256),
+                         queue_capacity=1024, tile_tree_lod=True)
+        for _ in range(30):
+            out = terrain.update({"walk": view})
+            if not terrain.atlas.state.to_load and not any(
+                a.loading for a in terrain.atlas.attachments
+            ):
+                break
+            time.sleep(0.01)
+        out = terrain.update({"walk": view})["walk"]
+        assert out.tile_count > 0
+        mask = np.asarray(out.mesh.tile_mask)
+        h = np.asarray(out.mesh.heights)[mask]
+        assert np.isfinite(h).all() and h.max() <= 100.0 + 1e-3
+        # heights still track the analytic field through the walk lookup
+        pos = np.asarray(out.mesh.positions)[mask].reshape(-1, 3)
+        u = pos[:, 0] / 1000.0 + 0.5
+        v = pos[:, 2] / 1000.0 + 0.5
+        err = np.abs(pos[:, 1] - smooth_field(u, v) * 100.0)
+        assert np.median(err) < 3.0, float(np.median(err))
+        terrain.remove_view("walk")
