@@ -180,6 +180,10 @@ def approximate_view_distance(
     """View distance of a coordinate at the approximate terrain height
     (functions.wgsl:117-131), with the HIGH_PRECISION Taylor fallback
     below ``precision_threshold_distance``."""
+    if not cfg.spherical and not cfg.high_precision:
+        # componentwise: the stacked (..., 3) world/normal chains otherwise
+        # make XLA materialize three component buffers per call site
+        return planar_view_distance(lod, xy, uv, uniforms)
     local = compute_local_position(side, lod, xy, uv, cfg.spherical)
     world = position_local_to_world(local, uniforms.world_from_local)
     normal = normal_local_to_world(local, uniforms.normal_matrix, cfg.spherical)
@@ -199,6 +203,31 @@ def approximate_view_distance(
             view_distance,
         )
     return view_distance
+
+
+def planar_view_distance(lod, xy, uv, uniforms: FrameUniforms):
+    """View distance for planar terrains, componentwise.
+
+    Same math as compute_local_position -> position_local_to_world ->
+    norm, but never stacks the intermediate (..., 3) vectors — the stack
+    boundaries otherwise make XLA materialize three component buffers per
+    chain (measured ~0.2 ms per fusion at 2.4M vertices). The constant
+    +Y normal folds into one precomputed base offset."""
+    uv01 = (xy.astype(jnp.float32) + uv) / tile_count(lod)[..., None]
+    lx = uv01[..., 0] - 0.5
+    lz = uv01[..., 1] - 0.5
+    m = uniforms.world_from_local  # (3, 4)
+    n = uniforms.normal_matrix[:, 1]
+    n = n / jnp.linalg.norm(n)
+    base = (
+        m[:, 3]
+        + uniforms.approximate_height * n
+        - uniforms.view_world_position
+    )  # (3,)
+    dx = m[0, 0] * lx + m[0, 2] * lz + base[0]
+    dy = m[1, 0] * lx + m[1, 2] * lz + base[1]
+    dz = m[2, 0] * lx + m[2, 2] * lz + base[2]
+    return jnp.sqrt(dx * dx + dy * dy + dz * dz)
 
 
 def compute_subdivision_coordinate(

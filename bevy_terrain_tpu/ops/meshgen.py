@@ -143,13 +143,24 @@ def generate_mesh_grid(
     lod_b = jnp.broadcast_to(t_lod[:, None], (F, NV))
     xy = jnp.broadcast_to(t_xy[:, None, :], (F, NV, 2))
 
-    local = coords.compute_local_position(side, lod_b, xy, tile_uv, cfg.spherical)
-    world = coords.position_local_to_world(local, uniforms.world_from_local)
-    normal = coords.normal_local_to_world(local, uniforms.normal_matrix, cfg.spherical)
-    view_distance = jnp.linalg.norm(
-        world + uniforms.approximate_height * normal - uniforms.view_world_position,
-        axis=-1,
-    )
+    if cfg.spherical or cfg.high_precision:
+        local = coords.compute_local_position(side, lod_b, xy, tile_uv, cfg.spherical)
+        world = coords.position_local_to_world(local, uniforms.world_from_local)
+        normal = coords.normal_local_to_world(
+            local, uniforms.normal_matrix, cfg.spherical
+        )
+        view_distance = jnp.linalg.norm(
+            world
+            + uniforms.approximate_height * normal
+            - uniforms.view_world_position,
+            axis=-1,
+        )
+    else:
+        # planar: componentwise distance avoids materializing the stacked
+        # (F, NV, 3) world/normal chains (only the distance is consumed;
+        # approximate_view_distance takes the same route for refinement
+        # and the per-tile lookup)
+        view_distance = coords.planar_view_distance(lod_b, xy, tile_uv, uniforms)
     if cfg.high_precision:
         relative = coords.compute_relative_position(
             side, lod_b, xy, tile_uv, uniforms.taylor, cfg.origin_lod,
