@@ -93,7 +93,7 @@ def main() -> None:
 
     def _frame(block_array, u):
         tiles = refinement.refine_tiles(u, cfg)
-        mesh = meshgen.generate_mesh_grid(tiles, block_array, u, cfg, plan, 65535.0)
+        mesh, tiles = meshgen.generate_mesh_grid(tiles, block_array, u, cfg, plan, 65535.0)
         return tiles, mesh
 
     frame = (

@@ -73,37 +73,40 @@ def generate_mesh_grid(
     cfg: StaticTerrainConfig,
     plan,
     max_value: float,
-) -> GridMeshOutput:
+    assume_sorted: bool = False,
+) -> tuple[GridMeshOutput, RefinementOutput]:
     """Fast-path mesh generation on the (G+1)^2 grid layout.
 
     Same math as :func:`generate_mesh` (vertex.wgsl:30-98) but with heights
     from the gather-free patch pipeline (see ops/patch_sampling.py) and one
     lane per unique grid vertex.
+
+    Returns (mesh, sorted_tiles): the tile list reordered by atlas quad id
+    (the order the mesh rows are in — see patch_sampling.PatchBatch; a tile
+    list is a set, so any deterministic order is valid). Callers must pair
+    the mesh with the returned tiles, not the input.
     """
     from bevy_terrain_tpu.ops import patch_sampling as ps
 
     F = cfg.tile_capacity
     G = cfg.grid_size
 
+    use_pallas = cfg.pallas_sampling and cfg.grid_size == 16
+    if use_pallas:
+        from bevy_terrain_tpu.ops import pallas_kernels
+
+        tiles_per_step = pallas_kernels.TILES_PER_STEP
+    else:
+        tiles_per_step = 64
+    tiles, batch = ps.plan_patch_batch(
+        tiles, uniforms, cfg, plan, block_array.shape[0], tiles_per_step,
+        assume_sorted=assume_sorted,
+    )
     t_side = tiles.tile_side[:F]
     t_lod = jnp.maximum(tiles.tile_lod[:F], 0)
     t_xy = tiles.tile_xy[:F]
 
-    # --- per-tile blend target + atlas entries (2 tiny takes) ---
-    t0, center_ratio, flat0, flat1 = ps.per_tile_lookup(t_side, t_lod, t_xy, uniforms, cfg)
-    entries_flat = uniforms.entries.reshape(-1, 2)
-    e0 = jnp.take(entries_flat, flat0, axis=0)  # (F, 2): atlas_index, atlas_lod
-    a_idx = e0[:, 0]
-    a_lod = jnp.where(e0[:, 1] < 0, t_lod, e0[:, 1])
-
-    # --- window of the tile within its atlas tile ---
-    _, _, window_uv = coords.coordinate_change_lod(
-        t_lod, t_xy, jnp.zeros((F, 2), jnp.float32), a_lod
-    )
-
     # --- patch fetch + half-grid heights ---
-    ids, p0, dp = ps.patch_geometry(a_idx, t_lod, a_lod, window_uv, plan, cfg)
-    valid = (a_idx >= 0).astype(jnp.float32)
     # blend toward the coarser data lod by crossfading the RESAMPLE WEIGHTS
     # with their 1-2-1-smoothed form at the tile-center ratio (see
     # halfgrid_resample) — no second fetch, no smoothing passes over the
@@ -111,25 +114,18 @@ def generate_mesh_grid(
     # half-grid and value-mixes two window interpolations below (the
     # reference's per-vertex crossfade; tighter cross-lod seams, ~+1 ms).
     per_vertex = cfg.blend and cfg.blend_per_vertex
-    ratio = (
-        center_ratio
-        if cfg.blend and not per_vertex
-        else jnp.zeros_like(center_ratio)
-    )
-    if cfg.pallas_sampling and cfg.grid_size == 16:
-        from bevy_terrain_tpu.ops import pallas_kernels
-
-        zero = jnp.zeros_like(dp)
-        geom = jnp.stack(
-            [p0[:, 0], p0[:, 1], dp, valid, ratio, zero, zero, zero], axis=-1
-        )
-        h_mix = pallas_kernels.fetch_resample(block_array, ids, geom) / max_value
+    if use_pallas:
+        h_mix = pallas_kernels.fetch_resample_cached(block_array, batch)[:F]
+        h_mix = h_mix / max_value
     else:
-        patch = ps.fetch_patches_xla(block_array, ids)
-        h_mix = ps.halfgrid_resample(patch, p0, dp, cfg, ratio=ratio) / max_value
-        h_mix = h_mix * valid[:, None, None]
+        patch = ps.fetch_patches_xla(block_array, batch.ids[:F, None])
+        h_mix = ps.halfgrid_resample(
+            patch, batch.geom[:F, 0:2], batch.geom[:F, 2], cfg,
+            ratio=batch.geom[:F, 4] if (cfg.blend and not per_vertex) else None,
+        ) / max_value
+        h_mix = ps.permute_halfgrid(h_mix * batch.geom[:F, 3][:, None, None])
     if per_vertex:
-        h_coarse = ps.smooth_halfgrid(h_mix)
+        h_coarse = ps.smooth_halfgrid_permuted(h_mix)
 
     # --- per-vertex geometry on the grid layout (vertex.wgsl:30-71) ---
     # computed on a FLAT (F, (G+1)^2) layout: a minor dim of G+1=17 pads to
@@ -213,13 +209,14 @@ def generate_mesh_grid(
         shape = (F, G + 1, G + 1) + ((ch,) if ch else ())
         return x.reshape(shape)
 
-    return GridMeshOutput(
+    mesh = GridMeshOutput(
         positions=grid(jnp.where(mask[..., None], positions, 0.0), 3),
         normals=grid(jnp.where(mask[..., None], morph_normal, 0.0), 3),
         uvs=grid(jnp.where(mask[..., None], morphed_uv, 0.0), 2),
         heights=grid(jnp.where(mask, height, 0.0)),
         tile_mask=tile_mask,
     )
+    return mesh, tiles
 
 
 def generate_mesh(

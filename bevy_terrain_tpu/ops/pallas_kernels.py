@@ -61,6 +61,529 @@ TILES_PER_STEP = 64
 CHUNK = 1024
 
 
+# Streaming quad cache (fetch_resample_cached): unique quads live in a
+# VMEM-resident ring of U_MAX slots (U_MAX * 16 KB; v5e VMEM ~16 MB/core).
+# Slot of rank r is r % U_MAX; issuing rank r is safe once every tile of
+# rank r - U_MAX is behind us, which the per-step issue horizon
+# min(rank_lo[s] + U_MAX, rank_hi[s] + LOOKAHEAD) guarantees (a step's 64
+# tiles span <= 64 <= U_MAX ranks). Waits lag issues by one step so DMAs
+# overlap compute; step s only needs ranks <= rank_hi[s] < allowed(s-1).
+U_MAX = 512
+LOOKAHEAD = 128
+# SMEM stores prefetched scalars at 64 B each (observed: a (8192, 8) f32
+# operand allocates 4 MB against the 1 MB SMEM budget), so the unique-id
+# list is capped. Frames with more than U_PAD distinct quads mask the
+# overflow tiles to height 0 (plan_patch_batch zeroes their valid flag);
+# the observed worst case is 612 uniques at the 8192-tile bench frame.
+U_PAD = 4096
+
+
+def _halfgrid_perm() -> "np.ndarray":
+    """Evens-first half-grid row order: [0,2,..,32, 1,3,..,31].
+
+    The per-vertex 3x3 interpolation windows read half-grid indices
+    {max(2i-2,0)+a}; in this order every window term is a UNIT-stride
+    slice of the even/odd block (XLA's stride-2 lane slices on the
+    (F,33,33) half tensor cost up to ~1.1 ms each from forced relayouts).
+    """
+    import numpy as np
+
+    return np.concatenate([np.arange(0, K, 2), np.arange(1, K, 2)])
+
+
+def _smooth_matrix_permuted() -> "np.ndarray":
+    """(K, K) f32: the 1-2-1 half-grid smoothing (boundary rows duplicate,
+    matching the old closed-form weight crossfade) conjugated into the
+    evens-first row order. Applying B = I + ratio*(A - I) on both sides of
+    the PLAIN resample equals crossfading the tent weights toward their
+    smoothed form ((A@w)@patch == A@(w@patch)), at one tent eval per axis
+    instead of three."""
+    import numpy as np
+
+    A = np.zeros((K, K), np.float32)
+    for i in range(K):
+        lo, hi = max(i - 1, 0), min(i + 1, K - 1)
+        A[i, lo] += 0.25
+        A[i, i] += 0.5
+        A[i, hi] += 0.25
+    p = _halfgrid_perm()
+    return A[np.ix_(p, p)]
+
+
+def _resample_one(q, p0x, p0y, dp, valid, ratio):
+    """One tile's patch assembly + tent resample (see _kernel docstring).
+
+    Output rows/cols are in evens-first half-grid order (_halfgrid_perm).
+    """
+    kk = jax.lax.broadcasted_iota(jnp.int32, (K, P), 0)
+    # permuted half-grid position of output row k: 2k for k<17, 2k-33 after
+    pos = jnp.where(kk < (K + 1) // 2, 2 * kk, 2 * kk - K).astype(jnp.float32)
+    r = jax.lax.broadcasted_iota(jnp.int32, (K, P), 1).astype(jnp.float32)
+    patch = jnp.concatenate(
+        [q[:, :64], pltpu.roll(q, 64, 1)[:, :64]], axis=0
+    ).astype(jnp.float32)
+
+    def weights(p0):
+        p = jnp.clip(p0 + pos * dp, 0.0, P - 1.0)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(p - r))
+
+    wx = weights(p0x)
+    wy = weights(p0y)
+    # Recentre before the bf16-pass dots: tent rows sum to 1 (up to 1 ulp),
+    # so interpolating (patch - c) and adding c back is exact — the MXU's
+    # bf16 quantization then scales with the tile's LOCAL height range
+    # instead of the absolute height (random-data worst case unchanged,
+    # smooth real terrain error drops orders of magnitude).
+    c = jnp.mean(patch)
+    rows = jnp.dot(wy, patch - c, preferred_element_type=jnp.float32)
+    half = jnp.dot(rows, wx.T, preferred_element_type=jnp.float32)
+    # blend toward the coarser data lod on the OUTPUT side: half ->
+    # B half B^T with B = I + ratio (A - I), A = the 1-2-1 smoothing with
+    # duplicated boundary rows (see _smooth_matrix_permuted; exact since
+    # (A@w)@patch == A@(w@patch), and c passes through B's unit row sums).
+    # A/I come from iota math (kernels cannot capture array constants) and
+    # hoist as loop invariants. Measured alternatives: slice/concat VPU
+    # smoothing +2.5 ms (per-tile Mosaic concats), HIGHEST precision dots
+    # +2.5 ms; default-precision dots on the recentred half are ~free.
+    ri = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    pr = jnp.where(ri < (K + 1) // 2, 2 * ri, 2 * ri - K)  # permuted -> natural
+    pc = jnp.where(ci < (K + 1) // 2, 2 * ci, 2 * ci - K)
+    eye = (pr == pc).astype(jnp.float32)
+    A = (
+        0.5 * eye
+        + 0.25 * (jnp.abs(pr - pc) == 1).astype(jnp.float32)
+        + 0.25 * ((pr == pc) & ((pr == 0) | (pr == K - 1))).astype(jnp.float32)
+    )
+    B = eye + ratio * (A - eye)
+    half = jnp.dot(
+        jnp.dot(B, half, preferred_element_type=jnp.float32), B.T,
+        preferred_element_type=jnp.float32,
+    )
+    return (half + c) * valid
+
+
+def _kernel_cached(uq_ref, slots_ref, rlo_ref, rhi_ref, nuq_ref, geom_ref,
+                   hbm_ref, out_ref, cache, sem, cnt):
+    """geom rides in VMEM per step (SMEM scalar padding is 16x); slots/uq
+    live in SMEM because their values drive dynamic indexing."""
+    s = pl.program_id(0)
+    T = TILES_PER_STEP
+
+    @pl.when(s == 0)
+    def _():
+        cnt[0] = 0
+        cnt[1] = 0
+
+    def transfer(r):
+        return pltpu.make_async_copy(
+            hbm_ref.at[uq_ref[r]], cache.at[r % U_MAX], sem
+        )
+
+    def wait_range(lo, hi):
+        jax.lax.fori_loop(lo, hi, lambda r, c: (transfer(r).wait(), c)[1], 0)
+
+    # wait for everything issued through previous steps (covers this step's
+    # ranks: rank_hi[s] < allowed(s-1) by the lookahead invariant)
+    @pl.when(s > 0)
+    def _():
+        wait_range(cnt[1], cnt[0])
+        cnt[1] = cnt[0]
+
+    issued = cnt[0]
+    allowed = jnp.minimum(
+        jnp.minimum(rlo_ref[s] + U_MAX, rhi_ref[s] + LOOKAHEAD), nuq_ref[0]
+    )
+    allowed = jnp.maximum(allowed, issued)
+    jax.lax.fori_loop(issued, allowed, lambda r, c: (transfer(r).start(), c)[1], 0)
+    cnt[0] = allowed
+
+    @pl.when(s == 0)
+    def _():
+        wait_range(0, allowed)
+        cnt[1] = allowed
+
+    for t in range(T):
+        slot = slots_ref[s * T + t]
+        q = cache[slot % U_MAX]
+        out_ref[t] = _resample_one(
+            q,
+            geom_ref[0, t, 0],
+            geom_ref[0, t, 1],
+            geom_ref[0, t, 2],
+            geom_ref[0, t, 3],
+            geom_ref[0, t, 4],
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fetch_resample_cached(block_array, batch, interpret: bool = False):
+    """Fused patch fetch + half-grid resample through a VMEM quad cache.
+
+    Args:
+      block_array: (N, 32, 128) int32 row-interleaved overlapping block
+        quads (patch_sampling.quad_rows); stays in HBM — only the frame's
+        unique quads are DMA'd, once each.
+      batch: a patch_sampling.PatchBatch (tiles sorted by quad id + the
+        streaming-cache schedule).
+
+    Returns (Fp, 33, 33) f32 half-grid values (sorted tile order, already
+    blend-crossfaded); callers slice [:F].
+
+    The one-DMA-per-tile kernel (fetch_resample) was copy-issue bound:
+    ~96 ns per issued block copy x 65 copies/step = ~1.05 ms at 8192 tiles
+    regardless of locality (random vs constant ids measured identical).
+    Issuing each unique quad once (~611/frame measured) removes that wall.
+    """
+    Fp = batch.slots.shape[0]
+    steps = Fp // TILES_PER_STEP
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, TILES_PER_STEP, 8), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (TILES_PER_STEP, K, K), lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((U_MAX, 32, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((2,), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        _kernel_cached,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Fp, K, K), jnp.float32),
+        interpret=interpret,
+    )(batch.uq, batch.slots, batch.rank_lo, batch.rank_hi, batch.n_unique,
+      batch.geom.reshape(steps, TILES_PER_STEP, 8), block_array)
+
+
+# ---------------------------------------------------------------------------
+# Fused mesh kernel (planar fast path)
+# ---------------------------------------------------------------------------
+# One kernel = cached patch fetch + half-grid resample + CDLOD morph + window
+# interpolation + world positions (vertex.wgsl:30-98 end to end). Rationale:
+# any (.., 17) / (.., 33) minor-dim tensor is physically padded to 128 lanes
+# in HBM (a (8192, 33, 33) f32 half-grid is 167 MB on the wire), so the
+# XLA-staged vertex pipeline pays multi-ms relayout/padding costs no matter
+# how it is sliced. Here the half-grid lives only in VMEM scratch and the
+# per-vertex stage runs once per grid step on (17, T*17)-batched shapes.
+#
+# Layouts: vertex row i = sublanes, lane = t*17 + j (tile-major columns).
+# Outputs are a single (steps, 102, T*17) f32 tensor, rows packing
+# [height, pos_x, pos_y, pos_z, morphed_u, morphed_v] x 17.
+GV = 17  # vertices per axis (grid_size 16)
+LANES = TILES_PER_STEP * GV
+OUT_ROWS = 6 * GV
+
+# frame-scalar vector layout (see pack_mesh_scalars)
+FS_SIZE = 32
+
+
+def pack_mesh_scalars(uniforms, cfg) -> jnp.ndarray:
+    """(32,) f32 frame scalars for the fused mesh kernel (planar path)."""
+    m = uniforms.world_from_local  # (3, 4)
+    n = uniforms.normal_matrix[:, 1]
+    n = n / jnp.linalg.norm(n)
+    base = m[:, 3] + uniforms.approximate_height * n - uniforms.view_world_position
+    return jnp.concatenate([
+        m.reshape(12),
+        base,  # 12:15
+        n,  # 15:18
+        jnp.stack([
+            2.0 * uniforms.morph_distance,  # 18
+            uniforms.morph_range,  # 19
+            uniforms.blend_distance,  # 20
+            uniforms.blend_range,  # 21
+            uniforms.min_height,  # 22
+            uniforms.max_height - uniforms.min_height,  # 23
+            jnp.float32(1.0 if cfg.morph else 0.0),  # 24
+            jnp.float32(1.0 if cfg.blend else 0.0),  # 25
+            jnp.float32(cfg.lod_count) - 0.00001,  # 26
+        ]),
+        jnp.zeros((5,), jnp.float32),
+    ]).astype(jnp.float32)
+
+
+def _mesh_kernel(uq_ref, slots_ref, rlo_ref, rhi_ref, nuq_ref, fs_ref,
+                 geom_ref, pv_ref, hbm_ref, out_ref, cache, S, sem, cnt):
+    s = pl.program_id(0)
+    T = TILES_PER_STEP
+
+    # ---- streaming quad cache (same scheme as _kernel_cached) ----
+    @pl.when(s == 0)
+    def _():
+        cnt[0] = 0
+        cnt[1] = 0
+
+    def transfer(r):
+        return pltpu.make_async_copy(
+            hbm_ref.at[uq_ref[r]], cache.at[r % U_MAX], sem
+        )
+
+    def wait_range(lo, hi):
+        jax.lax.fori_loop(lo, hi, lambda r, c: (transfer(r).wait(), c)[1], 0)
+
+    @pl.when(s > 0)
+    def _():
+        wait_range(cnt[1], cnt[0])
+        cnt[1] = cnt[0]
+
+    issued = cnt[0]
+    allowed = jnp.minimum(
+        jnp.minimum(rlo_ref[s] + U_MAX, rhi_ref[s] + LOOKAHEAD), nuq_ref[0]
+    )
+    allowed = jnp.maximum(allowed, issued)
+    jax.lax.fori_loop(issued, allowed, lambda r, c: (transfer(r).start(), c)[1], 0)
+    cnt[0] = allowed
+
+    @pl.when(s == 0)
+    def _():
+        wait_range(0, allowed)
+        cnt[1] = allowed
+
+    # ---- phase A: per-tile resample into the step slab ----
+    # y tents: 33 rows in evens-first order (pos 2k / 2k-33); x tents: 51
+    # rows, a-major (pos idx_a(j) = 0 if j == 0 else 2j-2+a) so the three
+    # window slabs come out as contiguous 17-column blocks.
+    ky = jax.lax.broadcasted_iota(jnp.int32, (K, P), 0)
+    pos_y = jnp.where(ky < GV, 2 * ky, 2 * ky - K).astype(jnp.float32)
+    ry = jax.lax.broadcasted_iota(jnp.int32, (K, P), 1).astype(jnp.float32)
+    qx = jax.lax.broadcasted_iota(jnp.int32, (3 * GV, P), 0)
+    ax, jx = qx // GV, qx % GV
+    pos_x = jnp.where(jx == 0, 0, 2 * jx - 2 + ax).astype(jnp.float32)
+    rx = jax.lax.broadcasted_iota(jnp.int32, (3 * GV, P), 1).astype(jnp.float32)
+
+    for t in range(T):
+        slot = slots_ref[s * T + t]
+        q = cache[slot % U_MAX].astype(jnp.float32)  # (32, 128)
+        c = jnp.mean(q)
+        qc = q - c
+        p0x = geom_ref[0, t, 0]
+        p0y = geom_ref[0, t, 1]
+        dp = geom_ref[0, t, 2]
+
+        wy = jnp.maximum(
+            0.0, 1.0 - jnp.abs(jnp.clip(p0y + pos_y * dp, 0.0, P - 1.0) - ry)
+        )  # (33, 64)
+        wx = jnp.maximum(
+            0.0, 1.0 - jnp.abs(jnp.clip(p0x + pos_x * dp, 0.0, P - 1.0) - rx)
+        )  # (51, 64)
+        # patch rows 0..31 live in lanes 0:64 of the quad, rows 32..63 in
+        # lanes 64:128 — split the contraction instead of assembling the
+        # (64, 64) patch (saves the per-tile roll+concat relayout)
+        rows = jnp.dot(wy[:, 0:32], qc[:, 0:64],
+                       preferred_element_type=jnp.float32) + jnp.dot(
+            wy[:, 32:64], qc[:, 64:128], preferred_element_type=jnp.float32
+        )  # (33, 64)
+        half3 = jnp.dot(rows, wx.T, preferred_element_type=jnp.float32)  # (33, 51)
+        base = t * GV
+        S[0, :, base:base + GV] = half3[:, 0:GV] + c
+        S[1, :, base:base + GV] = half3[:, GV:2 * GV] + c
+        S[2, :, base:base + GV] = half3[:, 2 * GV:3 * GV] + c
+
+    # ---- phase B: batched per-vertex stage on (GV, LANES) shapes ----
+    E = GV  # even block size in the evens-first y order
+
+    def ysel(x, b):
+        # rows for vertex i, offset b: natural index 0 if i == 0 else 2i-2+b
+        if b == 0:
+            body = jax.lax.slice_in_dim(x, 0, E - 1, axis=0)  # e[0..15]
+        elif b == 1:
+            body = jax.lax.slice_in_dim(x, E, K, axis=0)  # o[0..15]
+        else:
+            return jax.lax.slice_in_dim(x, 0, E, axis=0)  # e[0..16]
+        return jnp.concatenate(
+            [jax.lax.slice_in_dim(x, 0, 1, axis=0), body], axis=0
+        )
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (GV, LANES), 1)
+    j = lane % GV
+    sub = jax.lax.broadcasted_iota(jnp.int32, (GV, LANES), 0)
+
+    fs = fs_ref
+    lodf = pv_ref[0, 0]
+    xf = pv_ref[0, 1]
+    yf = pv_ref[0, 2]
+    valid = pv_ref[0, 3]
+
+    # --- smoothed slabs (the coarser data lod): value-space 1-2-1 with
+    # duplicated boundaries, on the (a, evens-first-y) structure ---
+    s0, s1, s2 = S[0], S[1], S[2]
+
+    def lane_shift(x, d):
+        # shift within each tile's 17-lane block (clamp at block edges)
+        rolled = pltpu.roll(x, -d, 1)
+        jl = lane[0:K] % GV if x.shape[0] == K else j
+        ok = (jl + d >= 0) & (jl + d <= GV - 1)
+        return jnp.where(ok, rolled, x)
+
+    def ysmooth(x):
+        # natural-position 1-2-1 across the evens-first sublane order:
+        # even row k (pos 2k): neighbours o[k-1], o[k] (dup at ends);
+        # odd row k (pos 2k+1): neighbours e[k], e[k+1]
+        xe = jax.lax.slice_in_dim(x, 0, E, axis=0)
+        xo = jax.lax.slice_in_dim(x, E, K, axis=0)
+        lo = jnp.concatenate(
+            [jax.lax.slice_in_dim(x, 0, 1, axis=0),
+             jax.lax.slice_in_dim(x, E, K, axis=0)], axis=0)
+        hi = jnp.concatenate(
+            [jax.lax.slice_in_dim(x, E, K, axis=0),
+             jax.lax.slice_in_dim(x, E - 1, E, axis=0)], axis=0)
+        ae = 0.5 * xe + 0.25 * (lo + hi)
+        ao = 0.5 * xo + 0.25 * (
+            jax.lax.slice_in_dim(x, 0, E - 1, axis=0)
+            + jax.lax.slice_in_dim(x, 1, E, axis=0)
+        )
+        return jnp.concatenate([ae, ao], axis=0)
+
+    def xsmooth(a_idx, x0, x1, x2):
+        # x positions idx_a(j): a=1 (pos 2j-1): neighbours a=0, a=2 same j;
+        # a=0 (pos 2j-2): neighbours a=1 at j-1 and j (dup at pos 0);
+        # a=2 (pos 2j): neighbours a=1 at j and j+1 (dup at pos 32)
+        if a_idx == 1:
+            return 0.5 * x1 + 0.25 * (x0 + x2)
+        if a_idx == 0:
+            prev = lane_shift(x1, -1)  # (1, j-1), clamps to x1 at j == 0
+            # boundary: pos 0 (j <= 1) duplicates itself on the low side
+            jl = lane[0:K] % GV
+            low = jnp.where(jl <= 1, x0, prev)
+            return 0.5 * x0 + 0.25 * (low + x1)
+        nxt = lane_shift(x1, 1)  # (1, j+1)
+        jl = lane[0:K] % GV
+        hi = jnp.where(jl >= GV - 1, x2, nxt)
+        return 0.5 * x2 + 0.25 * (x1 + hi)
+
+    sm0 = ysmooth(xsmooth(0, s0, s1, s2))
+    sm1 = ysmooth(xsmooth(1, s0, s1, s2))
+    sm2 = ysmooth(xsmooth(2, s0, s1, s2))
+
+    # --- per-vertex geometry (vertex.wgsl:30-71, planar) ---
+    u = j.astype(jnp.float32) * (1.0 / (GV - 1.0))
+    v = sub.astype(jnp.float32) * (1.0 / (GV - 1.0))
+    inv_count = jnp.exp2(-lodf)
+    lx = (xf + u) * inv_count - 0.5
+    lz = (yf + v) * inv_count - 0.5
+    dx = fs[0] * lx + fs[2] * lz + fs[12]
+    dy = fs[4] * lx + fs[6] * lz + fs[13]
+    dz = fs[8] * lx + fs[10] * lz + fs[14]
+    dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+
+    target_lod = jnp.log2(fs[18] / dist)
+    mr = jnp.clip((lodf + fs[19] - target_lod) * (1.0 / fs[19]), 0.0, 1.0)
+    mr = jnp.where(lodf == 0.0, 0.0, mr) * fs[24]
+    even_u = ((j & ~1).astype(jnp.float32)) * (1.0 / (GV - 1.0))
+    even_v = ((sub & ~1).astype(jnp.float32)) * (1.0 / (GV - 1.0))
+    mu = u + (even_u - u) * mr
+    mv = v + (even_v - v) * mr
+
+    # --- window interpolation at the morphed uv (3x3 tents) ---
+    lxw = mu * (2.0 * (GV - 1.0)) - jnp.maximum(2 * j - 2, 0).astype(jnp.float32)
+    lyw = mv * (2.0 * (GV - 1.0)) - jnp.maximum(2 * sub - 2, 0).astype(jnp.float32)
+
+    def interp(t0, t1, t2):
+        h = jnp.zeros((GV, LANES), jnp.float32)
+        for b, slab in ((0, t0), (1, t1), (2, t2)):
+            wyb = jnp.maximum(0.0, 1.0 - jnp.abs(lyw - b))
+            for a in range(3):
+                wxa = jnp.maximum(0.0, 1.0 - jnp.abs(lxw - a))
+                h = h + wyb * wxa * ysel(slab, b)[:, :]
+        return h
+
+    # NOTE: ysel must select per (vertex i, offset b) — reorganize: the
+    # slabs are indexed by x-offset a; for each (b, a) pair the term is
+    # ysel(slab_a, b). interp above iterates slabs by b — fix by passing
+    # slabs per a and selecting rows by b:
+    def interp9(sa0, sa1, sa2):
+        h = jnp.zeros((GV, LANES), jnp.float32)
+        for b in range(3):
+            wyb = jnp.maximum(0.0, 1.0 - jnp.abs(lyw - b))
+            for a, slab in ((0, sa0), (1, sa1), (2, sa2)):
+                wxa = jnp.maximum(0.0, 1.0 - jnp.abs(lxw - a))
+                h = h + wyb * wxa * ysel(slab, b)
+        return h
+
+    h_fine = interp9(s0, s1, s2)
+    h_smooth = interp9(sm0, sm1, sm2)
+
+    # --- per-vertex blend crossfade (fragment.wgsl:51-62 semantics) ---
+    btarget = jnp.minimum(jnp.log2(fs[20] / dist), fs[26])
+    blod = jnp.maximum(btarget, 0.0).astype(jnp.int32).astype(jnp.float32)
+    bratio = jnp.where(
+        blod == 0.0, 0.0,
+        jnp.clip((blod + fs[21] - btarget) * (1.0 / fs[21]), 0.0, 1.0),
+    ) * fs[25]
+    h_norm = (h_fine + (h_smooth - h_fine) * bratio) * valid
+    height = fs[22] + fs[23] * h_norm
+
+    # --- morphed world position + surface offset (planar) ---
+    mlx = (xf + mu) * inv_count - 0.5
+    mlz = (yf + mv) * inv_count - 0.5
+    px = fs[0] * mlx + fs[2] * mlz + fs[3] + height * fs[15]
+    py = fs[4] * mlx + fs[6] * mlz + fs[7] + height * fs[16]
+    pz = fs[8] * mlx + fs[10] * mlz + fs[11] + height * fs[17]
+
+    out_ref[0, 0 * GV:1 * GV] = height * valid
+    out_ref[0, 1 * GV:2 * GV] = px * valid
+    out_ref[0, 2 * GV:3 * GV] = py * valid
+    out_ref[0, 3 * GV:4 * GV] = pz * valid
+    out_ref[0, 4 * GV:5 * GV] = mu * valid
+    out_ref[0, 5 * GV:6 * GV] = mv * valid
+
+
+@jax.jit
+def mesh_fused(block_array, batch, pv, fs):
+    """Fused planar frame mesh: fetch + resample + morph + interpolate.
+
+    Args:
+      block_array: (N, 32, 128) int32 quad blocks (HBM-resident).
+      batch: patch_sampling.PatchBatch (quad-sorted schedule).
+      pv: (steps, 8, LANES) f32 per-vertex-lane tile params
+          [lodf, xf, yf, valid*inv_max? no: valid, ...] — see caller.
+      fs: (32,) f32 frame scalars (pack_mesh_scalars).
+
+    Returns (steps, 102, LANES) f32: rows = [height, pos_xyz, morphed uv]
+    x 17 vertex rows; lane = tile_in_step * 17 + vertex column.
+    """
+    Fp = batch.slots.shape[0]
+    steps = Fp // TILES_PER_STEP
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((1, TILES_PER_STEP, 8), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, LANES), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, OUT_ROWS, LANES), lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((U_MAX, 32, 128), jnp.int32),
+            pltpu.VMEM((3, K, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((2,), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        _mesh_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((steps, OUT_ROWS, LANES), jnp.float32),
+    )(batch.uq, batch.slots, batch.rank_lo, batch.rank_hi, batch.n_unique, fs,
+      batch.geom.reshape(steps, TILES_PER_STEP, 8), pv, block_array)
+
+
 def _kernel(ids_ref, geom_ref, *refs):
     out_ref = refs[-1]
     k = jax.lax.broadcasted_iota(jnp.int32, (K, P), 0).astype(jnp.float32)

@@ -195,6 +195,155 @@ def per_tile_lookup(tiles_side, tiles_lod, tiles_xy, uniforms, cfg: StaticTerrai
     return t0, blend_ratio, entry_at(t0), entry_at(jnp.maximum(t0 - 1, 0))
 
 
+class PatchBatch(NamedTuple):
+    """Per-frame patch-fetch schedule: tiles sorted by quad id + the
+    streaming-cache metadata consumed by ``fetch_resample_cached``.
+
+    Deep tiles sample coarse ancestors, so a frame's F patch fetches hit
+    only U << F distinct atlas quads (measured 611 for 8173 tiles at the
+    8k^2 bench frame). Sorting the tile list by quad id groups the
+    duplicates; the Pallas kernel then DMAs each unique quad ONCE into a
+    VMEM-resident cache and every tile reads its quad from VMEM — the
+    per-tile copy issue overhead (~100 ns each, the measured bottleneck of
+    the one-DMA-per-tile kernel) collapses to U issues.
+    """
+
+    uq: jax.Array  # (Fp,) i32 unique quad ids in rank order (clamped valid)
+    slots: jax.Array  # (Fp,) i32 quad rank per tile (nondecreasing)
+    rank_lo: jax.Array  # (steps,) i32 first rank touched by each step
+    rank_hi: jax.Array  # (steps,) i32 last rank touched by each step
+    n_unique: jax.Array  # (1,) i32
+    geom: jax.Array  # (Fp, 8) f32: p0x p0y dp valid ratio 0 0 0
+    ids: jax.Array  # (Fp,) i32 sorted tl quad ids (XLA-fallback fetch)
+
+
+def plan_patch_batch(
+    tiles,
+    uniforms,
+    cfg: StaticTerrainConfig,
+    plan: PatchPlan,
+    n_blocks: int,
+    tiles_per_step: int,
+    assume_sorted: bool = False,
+):
+    """Per-tile atlas lookup + patch geometry + quad-id sort (see PatchBatch).
+
+    Returns (sorted_tiles: RefinementOutput with (F,) arrays, PatchBatch).
+    With ``assume_sorted`` the tile list is taken to be already in quad-id
+    order for this plan (true for sibling attachments sharing the height
+    attachment's plan) and the sort is skipped, preserving row order.
+    """
+    from bevy_terrain_tpu.ops.refinement import RefinementOutput
+
+    F = cfg.tile_capacity
+    t_side = tiles.tile_side[:F]
+    t_lod = jnp.maximum(tiles.tile_lod[:F], 0)
+    t_xy = tiles.tile_xy[:F]
+
+    # --- per-tile blend target + atlas entry (functions.wgsl:232-246 at
+    # tile granularity; see per_tile_lookup) ---
+    center_uv = jnp.full(t_xy.shape, 0.5, jnp.float32)
+    dist = coords.approximate_view_distance(
+        t_side, t_lod, t_xy, center_uv, uniforms, cfg
+    )
+    blend_lod, center_ratio = coords.compute_blend(dist, uniforms, cfg)
+    if cfg.tile_tree_lod:
+        _, walk_lod, _, _ = coords.lookup_best(
+            uniforms.entries, uniforms.origins, t_side, t_lod, t_xy, center_uv, cfg
+        )
+        t0 = jnp.minimum(walk_lod, t_lod)
+    else:
+        t0 = jnp.minimum(blend_lod, t_lod)
+    e_lod, e_xy, _ = coords.coordinate_change_lod(
+        t_lod, t_xy, jnp.zeros(t_xy.shape, jnp.float32), jnp.clip(t0, 0, cfg.lod_count - 1)
+    )
+    a_idx, a_lod = coords.lookup_entries_matmul(
+        uniforms.entries, t_side, e_lod, e_xy % jnp.int32(cfg.tree_size), cfg
+    )
+    a_lod = jnp.where(a_lod < 0, t_lod, a_lod)
+
+    _, _, window_uv = coords.coordinate_change_lod(
+        t_lod, t_xy, jnp.zeros((F, 2), jnp.float32), a_lod
+    )
+    ids4, p0, dp = patch_geometry(a_idx, t_lod, a_lod, window_uv, plan, cfg)
+    ids0 = ids4[:, 0]
+    lane = jnp.arange(F, dtype=jnp.int32)
+    live = lane < tiles.tile_count
+    valid = ((a_idx >= 0) & live).astype(jnp.float32)
+    per_vertex = cfg.blend and cfg.blend_per_vertex
+    ratio = (
+        center_ratio if cfg.blend and not per_vertex else jnp.zeros_like(center_ratio)
+    )
+
+    # --- sort tiles by quad id; dead lanes (>= tile_count) to the end ---
+    key = jnp.where(live, ids0, jnp.int32(2**31 - 1))
+    if assume_sorted:
+        s_key, s_side, s_lod, s_x, s_y = key, t_side, t_lod, t_xy[:, 0], t_xy[:, 1]
+        s_p0x, s_p0y, s_dp, s_valid, s_ratio = p0[:, 0], p0[:, 1], dp, valid, ratio
+    else:
+        (s_key, s_side, s_lod, s_x, s_y, s_p0x, s_p0y, s_dp, s_valid, s_ratio) = (
+            jax.lax.sort(
+                (key, t_side, t_lod, t_xy[:, 0], t_xy[:, 1],
+                 p0[:, 0], p0[:, 1], dp, valid, ratio),
+                num_keys=1, is_stable=True,
+            )
+        )
+
+    # --- quad ranks + unique-id list (rank order) ---
+    from bevy_terrain_tpu.ops.pallas_kernels import U_PAD
+
+    first = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), s_key[1:] != s_key[:-1]]
+    )
+    rank = jnp.cumsum(first.astype(jnp.int32)) - 1  # (F,) nondecreasing
+    n_unique = jnp.minimum(rank[-1] + 1, U_PAD)
+    # tiles past the unique-id cap (pathological frames; see U_PAD) are
+    # masked out rather than given a wrong quad
+    s_valid = jnp.where(rank < U_PAD, s_valid, 0.0)
+    rank = jnp.minimum(rank, U_PAD - 1)
+    rank_key = jnp.where(first, rank, jnp.int32(2**31 - 1))
+    _, uq = jax.lax.sort((rank_key, s_key), num_keys=1, is_stable=True)
+    uq = jnp.clip(uq[:U_PAD] if F > U_PAD else uq, 0, n_blocks - 1)
+    if uq.shape[0] < U_PAD:
+        uq = jnp.concatenate(
+            [uq, jnp.zeros((U_PAD - uq.shape[0],), jnp.int32)]
+        )
+
+    # --- pad to the kernel step size ---
+    T = tiles_per_step
+    pad = (-F) % T
+    Fp = F + pad
+    geom = jnp.stack(
+        [s_p0x, s_p0y, s_dp, s_valid, s_ratio,
+         jnp.zeros_like(s_dp), jnp.zeros_like(s_dp), jnp.zeros_like(s_dp)],
+        axis=-1,
+    )
+    slots = rank
+    s_ids = jnp.clip(s_key, 0, n_blocks - 1)
+    if pad:
+        # padded lanes repeat the last lane (keeps ranks nondecreasing);
+        # their valid flag is whatever the dead-lane tail carries (masked
+        # to zero heights by the dead-lane valid=0 path downstream)
+        geom = jnp.concatenate([geom, jnp.tile(geom[-1:], (pad, 1))], axis=0)
+        slots = jnp.concatenate([slots, jnp.tile(slots[-1:], (pad,))], axis=0)
+        s_ids = jnp.concatenate([s_ids, jnp.tile(s_ids[-1:], (pad,))], axis=0)
+    steps = Fp // T
+    rank_lo = slots.reshape(steps, T)[:, 0]
+    rank_hi = slots.reshape(steps, T)[:, -1]
+
+    sorted_tiles = RefinementOutput(
+        tile_side=s_side,
+        tile_lod=jnp.where(jnp.arange(F) < tiles.tile_count, s_lod, -1),
+        tile_xy=jnp.stack([s_x, s_y], axis=-1),
+        tile_count=tiles.tile_count,
+    )
+    batch = PatchBatch(
+        uq=uq, slots=slots, rank_lo=rank_lo, rank_hi=rank_hi,
+        n_unique=n_unique.reshape(1), geom=geom, ids=s_ids,
+    )
+    return sorted_tiles, batch
+
+
 def patch_geometry(
     atlas_index,  # (F,) i32 (-1 invalid)
     tile_lod,  # (F,) i32
@@ -317,34 +466,74 @@ def smooth_halfgrid(half):
     return smooth_axis(smooth_axis(half, 1), 2)
 
 
-def _window9(half, G: int):
-    """(F, HG+1, HG+1) -> (F, G+1, G+1, 3, 3) static 3x3 windows at the
-    even half-grid positions 2i with offsets {-2, -1, 0} clamped at 0.
+def halfgrid_perm(K: int) -> np.ndarray:
+    """Evens-first half-grid index order [0,2,..,1,3,..] (see _window9)."""
+    return np.concatenate([np.arange(0, K, 2), np.arange(1, K, 2)])
 
-    Pure static strided slices — the per-vertex interpolation window
-    (morphed uv lies in [even_uv, uv], i.e. half-grid span [2i-2, 2i])."""
+
+def permute_halfgrid(half):
+    """Reorder a natural (F, K, K) half-grid into evens-first rows/cols
+    (the layout the Pallas kernel emits and _window9 consumes)."""
+    p = halfgrid_perm(half.shape[-1])
+    return half[:, p][:, :, p]
+
+
+def smooth_halfgrid_permuted(half_p):
+    """smooth_halfgrid conjugated into the evens-first layout (batched
+    matmuls with the static permuted 1-2-1 matrix; exact up to f32
+    reassociation)."""
+    K = half_p.shape[-1]
+    A = np.zeros((K, K), np.float32)
+    for i in range(K):
+        lo, hi = max(i - 1, 0), min(i + 1, K - 1)
+        A[i, lo] += 0.25
+        A[i, i] += 0.5
+        A[i, hi] += 0.25
+    p = halfgrid_perm(K)
+    Ap = jnp.asarray(A[np.ix_(p, p)])
+    out = jnp.einsum("kl,fln->fkn", Ap, half_p, preferred_element_type=jnp.float32)
+    return jnp.einsum("fkn,ln->fkl", out, Ap, preferred_element_type=jnp.float32)
+
+
+def _window9(half_p, G: int):
+    """Per-vertex 3x3 interpolation windows from an evens-first half grid.
+
+    ``half_p`` is (F, HG+1, HG+1) with rows/cols in evens-first order
+    ([e0..eG*2?, o0..]): vertex i's window covers natural half-grid indices
+    {max(2i-2, 0) + b}, which in this layout are UNIT-stride slices of the
+    even block (b=0: e[max(i-1,0)], b=2: e[i]) and odd block (b=1:
+    o[i-1], clamped to e0 at i=0). Natural-order stride-2 lane slices on
+    the 35 MB half tensor cost up to ~1.1 ms each when XLA's layout
+    assignment materializes them transposed; these are plain slices.
+
+    Returned lazily as a dict of 9 (F, G+1, G+1) terms: consumed
+    term-by-term they fuse into the weighted sum.
+    """
+    E = G + 1  # even block size
+
     def sel(x, axis, o):
-        # static index set {0} + {o + 2(i-1) : i=1..G} along `axis`
         first = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
-        body = jax.lax.slice_in_dim(x, o, o + 2 * G - 1, stride=2, axis=axis)
+        if o == 0:  # natural {0, 0, 2, .., 2G-2} -> e[0], e[0..G-1]
+            body = jax.lax.slice_in_dim(x, 0, G, axis=axis)
+        elif o == 1:  # natural {0, 1, 3, .., 2G-1} -> e[0], o[0..G-1]
+            body = jax.lax.slice_in_dim(x, E, E + G, axis=axis)
+        else:  # natural {0, 2, .., 2G} -> e[0..G]
+            return jax.lax.slice_in_dim(x, 0, G + 1, axis=axis)
         return jnp.concatenate([first, body], axis=axis)
 
-    # returned lazily as a dict of 9 (F, G+1, G+1) terms: stacking them into
-    # (F, G+1, G+1, 3, 3) forces XLA to materialize the strided slices with
-    # transposed layouts (~3 ms of relayout copies at 8192 tiles); consumed
-    # term-by-term they fuse into the weighted sum
-    return {(b, a): sel(sel(half, 2, a), 1, b) for b in range(3) for a in range(3)}
+    return {(b, a): sel(sel(half_p, 2, a), 1, b) for b in range(3) for a in range(3)}
 
 
-def vertex_values_from_halfgrid(half, morphed_uv, cfg: StaticTerrainConfig):
+def vertex_values_from_halfgrid(half_p, morphed_uv, cfg: StaticTerrainConfig):
     """Interpolate half-grid values at morphed vertex uvs — elementwise.
 
-    ``morphed_uv``: (F, G+1, G+1, 2) with u in [even_u, u] per vertex.
-    Returns (F, G+1, G+1) f32.
+    ``half_p``: (F, HG+1, HG+1) in evens-first order (permute_halfgrid /
+    the Pallas kernel output). ``morphed_uv``: (F, G+1, G+1, 2) with u in
+    [even_u, u] per vertex. Returns (F, G+1, G+1) f32.
     """
     G = cfg.grid_size
     HG = 2 * G
-    win = _window9(half, G)  # dict (b, a) -> (F, G+1, G+1)
+    win = _window9(half_p, G)  # dict (b, a) -> (F, G+1, G+1)
 
     i = np.arange(G + 1)
     xbase = np.maximum(2 * i - 2, 0).astype(np.float32)  # (G+1,)
@@ -361,13 +550,14 @@ def vertex_values_from_halfgrid(half, morphed_uv, cfg: StaticTerrainConfig):
 
 
 def sample_attachment_vertices(
-    block_arrays,  # list per channel of (N, 8, 128) packed int32 block arrays
-    tiles,  # RefinementOutput
+    block_arrays,  # list per channel of (N, 32, 128) quad block arrays
+    tiles,  # RefinementOutput — the frame's quad-id-SORTED tile list
     morphed_uv,  # (F, G+1, G+1, 2) from the frame's GridMeshOutput
     uniforms,
     cfg: StaticTerrainConfig,
     plan: PatchPlan,
     max_value: float,
+    plan_matches_frame: bool = True,
 ):
     """Sample an arbitrary attachment at the frame's morphed vertex uvs.
 
@@ -376,36 +566,42 @@ def sample_attachment_vertices(
     heights: per-tile lookup, blocked patch fetch per channel, half-grid
     resample, static-window interpolation. Returns (F, G+1, G+1, C) f32 in
     [0, 1].
+
+    The input tiles are the frame's canonical (quad-id-sorted) list and the
+    output row order must match the mesh, so no re-sort happens here. When
+    this attachment's ``plan`` equals the height attachment's (same
+    texture_size/border/mips — the common case), its quad ids are monotone
+    in the same order and the streaming-cache kernel applies; otherwise
+    (``plan_matches_frame=False``) the XLA fallback fetch runs per tile.
     """
     F = cfg.tile_capacity
-    t_side = tiles.tile_side[:F]
-    t_lod = jnp.maximum(tiles.tile_lod[:F], 0)
-    t_xy = tiles.tile_xy[:F]
-
-    _, _, flat0, _ = per_tile_lookup(t_side, t_lod, t_xy, uniforms, cfg)
-    entries_flat = uniforms.entries.reshape(-1, 2)
-    e0 = jnp.take(entries_flat, flat0, axis=0)
-    a_idx = e0[:, 0]
-    a_lod = jnp.where(e0[:, 1] < 0, t_lod, e0[:, 1])
-    _, _, window_uv = coords.coordinate_change_lod(
-        t_lod, t_xy, jnp.zeros((F, 2), jnp.float32), a_lod
+    use_pallas = (
+        cfg.pallas_sampling and cfg.grid_size == 16 and plan_matches_frame
     )
-    ids, p0, dp = patch_geometry(a_idx, t_lod, a_lod, window_uv, plan, cfg)
-    valid = (a_idx >= 0).astype(jnp.float32)
+    if use_pallas:
+        from bevy_terrain_tpu.ops import pallas_kernels
+
+        tiles_per_step = pallas_kernels.TILES_PER_STEP
+    else:
+        tiles_per_step = 64
+    _, batch = plan_patch_batch(
+        tiles, uniforms, cfg, plan, block_arrays[0].shape[0], tiles_per_step,
+        assume_sorted=True,
+    )
+    # attachments sample one data lod (ratio 0): zero the crossfade column
+    geom = batch.geom.at[:, 4].set(0.0)
+    batch = batch._replace(geom=geom)
 
     channels = []
     for block_array in block_arrays:
-        if cfg.pallas_sampling and cfg.grid_size == 16:
-            from bevy_terrain_tpu.ops import pallas_kernels
-
-            zero = jnp.zeros_like(dp)  # attachments sample one lod: ratio 0
-            geom = jnp.stack(
-                [p0[:, 0], p0[:, 1], dp, valid, zero, zero, zero, zero], axis=-1
-            )
-            half = pallas_kernels.fetch_resample(block_array, ids, geom) / max_value
+        if use_pallas:
+            half = pallas_kernels.fetch_resample_cached(block_array, batch)[:F]
+            half = half / max_value
         else:
-            patch = fetch_patches_xla(block_array, ids)
-            half = halfgrid_resample(patch, p0, dp, cfg) / max_value
-            half = half * valid[:, None, None]
+            patch = fetch_patches_xla(block_array, batch.ids[:F, None])
+            half = halfgrid_resample(
+                patch, batch.geom[:F, 0:2], batch.geom[:F, 2], cfg
+            ) / max_value
+            half = permute_halfgrid(half * batch.geom[:F, 3][:, None, None])
         channels.append(vertex_values_from_halfgrid(half, morphed_uv, cfg))
     return jnp.stack(channels, axis=-1)

@@ -170,7 +170,10 @@ class Terrain:
             uniform_blob, cfg.side_count, cfg.lod_count, cfg.tree_size
         )
         tiles = refinement.refine_tiles(uniforms, cfg)
-        mesh = meshgen.generate_mesh_grid(
+        # generate_mesh_grid reorders the tile list by atlas quad id (the
+        # streaming-cache fetch schedule); the returned tiles are the
+        # frame's canonical list, row-paired with the mesh
+        mesh, tiles = meshgen.generate_mesh_grid(
             tiles, block_array, uniforms, cfg, plan, max_value
         )
         colors = None
@@ -274,16 +277,19 @@ class Terrain:
             self._static_cfgs[view_id],
             attachment.patch_plan,
             attachment.config.format.max_value,
+            attachment.patch_plan == self.atlas.attachments[0].patch_plan,
         )
 
     @staticmethod
-    @partial(jax.jit, static_argnums=(4, 5, 6))
-    def _sample_grid(block_arrays, tiles, uvs, uniform_blob, cfg, plan, max_value):
+    @partial(jax.jit, static_argnums=(4, 5, 6, 7))
+    def _sample_grid(block_arrays, tiles, uvs, uniform_blob, cfg, plan, max_value,
+                     plan_matches_frame):
         from bevy_terrain_tpu.ops.patch_sampling import sample_attachment_vertices
 
         uniforms = unpack_frame_uniforms(
             uniform_blob, cfg.side_count, cfg.lod_count, cfg.tree_size
         )
         return sample_attachment_vertices(
-            list(block_arrays), tiles, uvs, uniforms, cfg, plan, max_value
+            list(block_arrays), tiles, uvs, uniforms, cfg, plan, max_value,
+            plan_matches_frame=plan_matches_frame,
         )

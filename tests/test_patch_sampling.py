@@ -79,7 +79,9 @@ class TestVertexInterp:
         g = np.arange(17) / 16.0
         guv = np.stack(np.meshgrid(g, g, indexing="xy"), axis=-1)
         uv = jnp.broadcast_to(jnp.asarray(guv[None], jnp.float32), (2, 17, 17, 2))
-        vals = np.asarray(ps.vertex_values_from_halfgrid(half, uv, CFG))
+        vals = np.asarray(
+            ps.vertex_values_from_halfgrid(ps.permute_halfgrid(half), uv, CFG)
+        )
         expect = np.asarray(half)[:, ::2, ::2]
         np.testing.assert_allclose(vals, expect, atol=1e-6)
 
@@ -94,11 +96,12 @@ class TestVertexInterp:
         uv[0, :, :, 0], uv[0, :, :, 1] = np.meshgrid(g, g, indexing="xy")
         uv[0, 5, 7, 0] = 13.5 / 32.0
         uv[0, 5, 7, 1] = 10.0 / 32.0
-        vals = np.asarray(ps.vertex_values_from_halfgrid(half, jnp.asarray(uv), CFG))
+        half_p = ps.permute_halfgrid(half)
+        vals = np.asarray(ps.vertex_values_from_halfgrid(half_p, jnp.asarray(uv), CFG))
         assert vals[0, 5, 7] == pytest.approx(0.5)
         # and exactly on the half-grid point 14 it is 1.0
         uv[0, 5, 7, 0] = 14.0 / 32.0
-        vals = np.asarray(ps.vertex_values_from_halfgrid(half, jnp.asarray(uv), CFG))
+        vals = np.asarray(ps.vertex_values_from_halfgrid(half_p, jnp.asarray(uv), CFG))
         assert vals[0, 5, 7] == pytest.approx(1.0)
 
 
@@ -170,9 +173,22 @@ class TestGridMeshPath:
             height.config.scale, height.config.offset,
         )
         n = int(tiles.tile_count)
-        # expand grid output to strip order and compare heights
+        # the grid mesh rows are quad-id sorted (patch_sampling.PatchBatch);
+        # align the exact (refinement-order) rows by tile coordinate
+        key = lambda l, x, y: (int(l), int(x), int(y))
+        exact_index = {
+            key(l, x, y): i
+            for i, (l, (x, y)) in enumerate(
+                zip(np.asarray(tiles.tile_lod[:n]), np.asarray(tiles.tile_xy[:n]))
+            )
+        }
+        fast_lod = np.asarray(out.tiles.tile_lod[:n])
+        fast_xy = np.asarray(out.tiles.tile_xy[:n])
+        order = np.array(
+            [exact_index[key(l, x, y)] for l, (x, y) in zip(fast_lod, fast_xy)]
+        )
         strip_fast = meshgen.grid_to_strip_order(out.mesh.heights, cfg)[:n]
-        strip_exact = np.asarray(exact.heights[:n])
+        strip_exact = np.asarray(exact.heights)[order]
         err = np.abs(strip_fast - strip_exact)
         # fast path samples mips >= 1: expect sub-percent deviation on the
         # smooth field (100 m height range)
