@@ -219,6 +219,90 @@ def generate_mesh_grid(
     return mesh, tiles
 
 
+def generate_mesh_fused(
+    tiles: RefinementOutput,
+    block_array,
+    uniforms: FrameUniforms,
+    cfg: StaticTerrainConfig,
+    plan,
+    max_value: float,
+):
+    """Single fused Pallas kernel for the whole planar mesh stage.
+
+    The XLA-staged pipeline pays heavy HBM padding costs on every
+    (.., 17)/(.., 33) minor-dim intermediate (a (F, 33, 33) f32 half grid
+    is 167 MB physical); the fused kernel keeps the half-grid in VMEM and
+    emits flat (steps, 102, T*17) products (see pallas_kernels._mesh_kernel
+    for the row layout). Use :func:`fused_to_grid` for the (F, G+1, G+1)
+    view. Planar, grid_size 16, TPU only.
+
+    Returns (raw, sorted_tiles).
+    """
+    from bevy_terrain_tpu.ops import pallas_kernels as pk
+    from bevy_terrain_tpu.ops import patch_sampling as ps
+
+    assert not cfg.spherical and not cfg.high_precision and cfg.grid_size == 16
+    F = cfg.tile_capacity
+    tiles, batch = ps.plan_patch_batch(
+        tiles, uniforms, cfg, plan, block_array.shape[0], pk.TILES_PER_STEP
+    )
+    Fp = batch.slots.shape[0]
+    steps = Fp // pk.TILES_PER_STEP
+
+    def pad(x):
+        return jnp.concatenate([x, jnp.zeros((Fp - F,), x.dtype)]) if Fp > F else x
+
+    live = (jnp.arange(Fp, dtype=jnp.int32) < tiles.tile_count).astype(jnp.float32)
+    params = jnp.stack(
+        [
+            pad(jnp.maximum(tiles.tile_lod[:F], 0).astype(jnp.float32)),
+            pad(tiles.tile_xy[:F, 0].astype(jnp.float32)),
+            pad(tiles.tile_xy[:F, 1].astype(jnp.float32)),
+            batch.geom[:, 3],  # valid (atlas data present, dead lanes 0)
+            live,
+            jnp.zeros((Fp,), jnp.float32),
+            jnp.zeros((Fp,), jnp.float32),
+            jnp.zeros((Fp,), jnp.float32),
+        ],
+        axis=0,
+    )  # (8, Fp)
+    pv = jnp.repeat(
+        params.reshape(8, steps, pk.TILES_PER_STEP), pk.GV, axis=2
+    )  # (8, steps, LANES)
+    pv = jnp.transpose(pv, (1, 0, 2))
+    fs = pk.pack_mesh_scalars(uniforms, cfg, max_value)
+    raw = pk.mesh_fused(block_array, batch, pv, fs)
+    return raw, tiles
+
+
+def fused_to_grid(raw, tiles: RefinementOutput, cfg: StaticTerrainConfig) -> GridMeshOutput:
+    """Reshape the fused kernel's flat products into the GridMeshOutput
+    layout (relayout cost — use only off the benchmarked hot path)."""
+    import numpy as np
+
+    from bevy_terrain_tpu.ops import pallas_kernels as pk
+
+    steps, _, lanes = raw.shape
+    T = lanes // pk.GV
+    F = cfg.tile_capacity
+    G = cfg.grid_size
+
+    def rows(k, ch=1):
+        x = raw[:, pk.GV * k:pk.GV * (k + 1), :].reshape(steps, pk.GV, T, pk.GV)
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(steps * T, pk.GV, pk.GV)[:F]
+
+    heights = rows(0)
+    positions = jnp.stack([rows(1), rows(2), rows(3)], axis=-1)
+    uvs = jnp.stack([rows(4), rows(5)], axis=-1)
+    up = jnp.asarray(np.array([0.0, 1.0, 0.0], np.float32))
+    normals = jnp.broadcast_to(up, (F, G + 1, G + 1, 3))
+    tile_mask = jnp.arange(F, dtype=jnp.int32) < tiles.tile_count
+    return GridMeshOutput(
+        positions=positions, normals=normals, uvs=uvs, heights=heights,
+        tile_mask=tile_mask,
+    )
+
+
 def generate_mesh(
     tiles: RefinementOutput,
     height_slab,

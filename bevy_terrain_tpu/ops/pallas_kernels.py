@@ -288,7 +288,7 @@ OUT_ROWS = 6 * GV
 FS_SIZE = 32
 
 
-def pack_mesh_scalars(uniforms, cfg) -> jnp.ndarray:
+def pack_mesh_scalars(uniforms, cfg, max_value: float) -> jnp.ndarray:
     """(32,) f32 frame scalars for the fused mesh kernel (planar path)."""
     m = uniforms.world_from_local  # (3, 4)
     n = uniforms.normal_matrix[:, 1]
@@ -304,7 +304,7 @@ def pack_mesh_scalars(uniforms, cfg) -> jnp.ndarray:
             uniforms.blend_distance,  # 20
             uniforms.blend_range,  # 21
             uniforms.min_height,  # 22
-            uniforms.max_height - uniforms.min_height,  # 23
+            (uniforms.max_height - uniforms.min_height) / max_value,  # 23
             jnp.float32(1.0 if cfg.morph else 0.0),  # 24
             jnp.float32(1.0 if cfg.blend else 0.0),  # 25
             jnp.float32(cfg.lod_count) - 0.00001,  # 26
@@ -413,17 +413,20 @@ def _mesh_kernel(uq_ref, slots_ref, rlo_ref, rhi_ref, nuq_ref, fs_ref,
     lodf = pv_ref[0, 0]
     xf = pv_ref[0, 1]
     yf = pv_ref[0, 2]
-    valid = pv_ref[0, 3]
+    valid = pv_ref[0, 3]  # atlas data present: zeroes heights (flat ground)
+    live = pv_ref[0, 4]  # tile exists: zeroes every output lane
 
     # --- smoothed slabs (the coarser data lod): value-space 1-2-1 with
     # duplicated boundaries, on the (a, evens-first-y) structure ---
     s0, s1, s2 = S[0], S[1], S[2]
 
+    jslab = jax.lax.broadcasted_iota(jnp.int32, (K, LANES), 1) % GV
+
     def lane_shift(x, d):
-        # shift within each tile's 17-lane block (clamp at block edges)
-        rolled = pltpu.roll(x, -d, 1)
-        jl = lane[0:K] % GV if x.shape[0] == K else j
-        ok = (jl + d >= 0) & (jl + d <= GV - 1)
+        # rolled[.., l] = x[.., l+d], within each tile's 17-lane block
+        # (clamped at block edges); pltpu.roll requires non-negative shifts
+        rolled = pltpu.roll(x, (-d) % LANES, 1)
+        ok = (jslab + d >= 0) & (jslab + d <= GV - 1)
         return jnp.where(ok, rolled, x)
 
     def ysmooth(x):
@@ -446,20 +449,22 @@ def _mesh_kernel(uq_ref, slots_ref, rlo_ref, rhi_ref, nuq_ref, fs_ref,
         return jnp.concatenate([ae, ao], axis=0)
 
     def xsmooth(a_idx, x0, x1, x2):
-        # x positions idx_a(j): a=1 (pos 2j-1): neighbours a=0, a=2 same j;
+        # x positions idx_a(j) = 0 if j == 0 else 2j-2+a. Interior:
+        # a=1 (pos 2j-1): neighbours a=0, a=2 at the same j;
         # a=0 (pos 2j-2): neighbours a=1 at j-1 and j (dup at pos 0);
-        # a=2 (pos 2j): neighbours a=1 at j and j+1 (dup at pos 32)
+        # a=2 (pos 2j): neighbours a=1 at j and j+1 (dup at pos 32).
+        # All slabs alias position 0 at j == 0 (and a=0 also at j == 1):
+        # there the smoothed value is 0.75 h(0) + 0.25 h(1), with h(1)
+        # living at x1[j=1].
+        sm_pos0 = 0.75 * x0 + 0.25 * lane_shift(x1, 1)
         if a_idx == 1:
-            return 0.5 * x1 + 0.25 * (x0 + x2)
+            return jnp.where(jslab == 0, sm_pos0, 0.5 * x1 + 0.25 * (x0 + x2))
         if a_idx == 0:
-            prev = lane_shift(x1, -1)  # (1, j-1), clamps to x1 at j == 0
-            # boundary: pos 0 (j <= 1) duplicates itself on the low side
-            jl = lane[0:K] % GV
-            low = jnp.where(jl <= 1, x0, prev)
-            return 0.5 * x0 + 0.25 * (low + x1)
+            prev = lane_shift(x1, -1)  # (1, j-1)
+            low = jnp.where(jslab <= 1, x0, prev)  # pos 0 dups itself
+            return jnp.where(jslab == 0, sm_pos0, 0.5 * x0 + 0.25 * (low + x1))
         nxt = lane_shift(x1, 1)  # (1, j+1)
-        jl = lane[0:K] % GV
-        hi = jnp.where(jl >= GV - 1, x2, nxt)
+        hi = jnp.where(jslab >= GV - 1, x2, nxt)  # pos 32 dups itself
         return 0.5 * x2 + 0.25 * (x1 + hi)
 
     sm0 = ysmooth(xsmooth(0, s0, s1, s2))
@@ -489,19 +494,6 @@ def _mesh_kernel(uq_ref, slots_ref, rlo_ref, rhi_ref, nuq_ref, fs_ref,
     lxw = mu * (2.0 * (GV - 1.0)) - jnp.maximum(2 * j - 2, 0).astype(jnp.float32)
     lyw = mv * (2.0 * (GV - 1.0)) - jnp.maximum(2 * sub - 2, 0).astype(jnp.float32)
 
-    def interp(t0, t1, t2):
-        h = jnp.zeros((GV, LANES), jnp.float32)
-        for b, slab in ((0, t0), (1, t1), (2, t2)):
-            wyb = jnp.maximum(0.0, 1.0 - jnp.abs(lyw - b))
-            for a in range(3):
-                wxa = jnp.maximum(0.0, 1.0 - jnp.abs(lxw - a))
-                h = h + wyb * wxa * ysel(slab, b)[:, :]
-        return h
-
-    # NOTE: ysel must select per (vertex i, offset b) — reorganize: the
-    # slabs are indexed by x-offset a; for each (b, a) pair the term is
-    # ysel(slab_a, b). interp above iterates slabs by b — fix by passing
-    # slabs per a and selecting rows by b:
     def interp9(sa0, sa1, sa2):
         h = jnp.zeros((GV, LANES), jnp.float32)
         for b in range(3):
@@ -522,7 +514,7 @@ def _mesh_kernel(uq_ref, slots_ref, rlo_ref, rhi_ref, nuq_ref, fs_ref,
         jnp.clip((blod + fs[21] - btarget) * (1.0 / fs[21]), 0.0, 1.0),
     ) * fs[25]
     h_norm = (h_fine + (h_smooth - h_fine) * bratio) * valid
-    height = fs[22] + fs[23] * h_norm
+    height = (fs[22] + fs[23] * h_norm) * live
 
     # --- morphed world position + surface offset (planar) ---
     mlx = (xf + mu) * inv_count - 0.5
@@ -531,12 +523,12 @@ def _mesh_kernel(uq_ref, slots_ref, rlo_ref, rhi_ref, nuq_ref, fs_ref,
     py = fs[4] * mlx + fs[6] * mlz + fs[7] + height * fs[16]
     pz = fs[8] * mlx + fs[10] * mlz + fs[11] + height * fs[17]
 
-    out_ref[0, 0 * GV:1 * GV] = height * valid
-    out_ref[0, 1 * GV:2 * GV] = px * valid
-    out_ref[0, 2 * GV:3 * GV] = py * valid
-    out_ref[0, 3 * GV:4 * GV] = pz * valid
-    out_ref[0, 4 * GV:5 * GV] = mu * valid
-    out_ref[0, 5 * GV:6 * GV] = mv * valid
+    out_ref[0, 0 * GV:1 * GV] = height
+    out_ref[0, 1 * GV:2 * GV] = px * live
+    out_ref[0, 2 * GV:3 * GV] = py * live
+    out_ref[0, 3 * GV:4 * GV] = pz * live
+    out_ref[0, 4 * GV:5 * GV] = mu * live
+    out_ref[0, 5 * GV:6 * GV] = mv * live
 
 
 @jax.jit
