@@ -392,3 +392,54 @@ def lookup_best(entries, origins, side, lod, xy, uv, cfg: StaticTerrainConfig):
     safe_lod = jnp.where(atlas_lod < 0, b_lod, atlas_lod)
     a_lod, a_xy, a_uv = coordinate_change_lod(b_lod, b_xy, b_uv, safe_lod)
     return atlas_index, a_lod, a_xy, a_uv
+
+
+def tile_visible(side, lod, xy, uniforms: FrameUniforms, cfg: StaticTerrainConfig):
+    """Conservative frustum test of a tile's bounding volume.
+
+    The reference's declared-but-unpopulated culling design
+    (culling_bind_group.rs:25-44) realized inside the refinement kernel
+    (SURVEY L3 target): the tile's 8 bounding corners (4 surface corners at
+    min/max height along the surface normal) are tested against the 5 view
+    planes; the tile is invisible only if ALL corners are outside ONE plane
+    — conservative for any convex volume containing the corners. Curved
+    (cube-sphere) tiles bulge outside their corner hull, so a per-lod
+    sagitta margin ``R * (1 - cos(1.2 * (pi/2) / 2^lod))`` is added for
+    spherical terrains (the chord-to-arc distance upper bound; C_SQR
+    warping stretches a tile's angular span by < 1.2x).
+
+    Returns (...,) bool.
+    """
+    planes = uniforms.culling_planes  # (5, 4)
+    hmin = jnp.minimum(uniforms.min_height, 0.0)
+    hmax = jnp.maximum(uniforms.max_height, 0.0)
+
+    # max over the 8 corners of the signed distance, per plane
+    dmax = None
+    for cu in (0.0, 1.0):
+        for cv in (0.0, 1.0):
+            uv = jnp.stack(
+                [jnp.full(jnp.shape(lod), cu, jnp.float32),
+                 jnp.full(jnp.shape(lod), cv, jnp.float32)], axis=-1)
+            local = compute_local_position(side, lod, xy, uv, cfg.spherical)
+            world = position_local_to_world(local, uniforms.world_from_local)
+            normal = normal_local_to_world(
+                local, uniforms.normal_matrix, cfg.spherical)
+            for h in (hmin, hmax):
+                p = world + h * normal  # (..., 3)
+                d = (
+                    p[..., 0, None] * planes[:, 0]
+                    + p[..., 1, None] * planes[:, 1]
+                    + p[..., 2, None] * planes[:, 2]
+                    + planes[:, 3]
+                )  # (..., 5)
+                dmax = d if dmax is None else jnp.maximum(dmax, d)
+
+    if cfg.spherical:
+        theta = jnp.minimum(
+            1.2 * (jnp.pi / 2.0) * jnp.exp2(-lod.astype(jnp.float32)), jnp.pi
+        )
+        margin = uniforms.terrain_scale * (1.0 - jnp.cos(theta))
+    else:
+        margin = jnp.float32(0.0)
+    return jnp.all(dmax >= -margin[..., None] if cfg.spherical else dmax >= 0.0, axis=-1)

@@ -61,6 +61,11 @@ class StaticTerrainConfig:
     # but has no further effect
     sample_grad: bool = True
     tile_tree_lod: bool = False  # lookup_best walk instead of blend lod
+    # frustum-cull tiles during refinement (SURVEY L3 target; the
+    # reference declares the 5-plane CullingUniform but ships it
+    # unpopulated, culling_bind_group.rs:25-55). Requires
+    # FrameUniforms.culling_planes from a real camera projection.
+    culling: bool = False
     # use the hand-written Pallas fetch+resample kernel for height patches
     # (TPU only; requires grid_size 16; see ops/pallas_kernels.py)
     pallas_sampling: bool = False
@@ -145,6 +150,10 @@ class FrameUniforms:
     # (host f64-computed to keep precision at deep lods)
     view_tile_int: jax.Array  # (sides, lods, 2) i32
     view_tile_frac: jax.Array  # (sides, lods, 2) f32
+    # frustum planes [nx ny nz d], normalized; inside <=> dot(n,p)+d >= 0
+    # (reference CullingUniform, culling_bind_group.rs:39-44; extraction
+    # math/frustum.py). accept_all_planes() when no camera projection.
+    culling_planes: jax.Array  # (5, 4) f32
 
 
 def pack_frame_uniforms(
@@ -156,6 +165,7 @@ def pack_frame_uniforms(
     view_tile_int: np.ndarray,
     view_tile_frac: np.ndarray,
     view_config,
+    view_proj: np.ndarray | None = None,
 ) -> np.ndarray:
     """Pack all per-frame uniforms into ONE host int32 blob.
 
@@ -199,6 +209,7 @@ def pack_frame_uniforms(
             np.asarray(approx.c_st, np.float32).ravel(),
             np.asarray(approx.c_tt, np.float32).ravel(),
             np.asarray(view_tile_frac, np.float32).ravel(),
+            np.asarray(_planes_of(view_proj), np.float32).ravel(),  # 20
         ]
     )
     i32 = np.concatenate(
@@ -212,9 +223,20 @@ def pack_frame_uniforms(
     return np.concatenate([f32.view(np.int32), i32])
 
 
+def _planes_of(view_proj) -> np.ndarray:
+    """Frustum planes from an optional camera projection (accept-all when
+    absent — culling then never rejects, matching the reference's shipped
+    default-planes state, culling_bind_group.rs:47-55)."""
+    from bevy_terrain_tpu.math import frustum
+
+    if view_proj is None:
+        return frustum.accept_all_planes()
+    return frustum.frustum_planes(view_proj)
+
+
 def packed_f32_count(side_count: int, lod_count: int) -> int:
     """Length of the f32 section inside the packed uniform blob."""
-    return 3 + 11 + 12 + 9 + 12 + 6 * 18 + side_count * lod_count * 2
+    return 3 + 11 + 12 + 9 + 12 + 6 * 18 + side_count * lod_count * 2 + 20
 
 
 def unpack_frame_uniforms(blob, side_count: int, lod_count: int,
@@ -246,6 +268,7 @@ def unpack_frame_uniforms(blob, side_count: int, lod_count: int,
     c_tt = take_f(18, (6, 3))
     SL2 = side_count * lod_count * 2
     view_tile_frac = take_f(SL2, (side_count, lod_count, 2))
+    culling_planes = take_f(20, (5, 4))
 
     p = 0
 
@@ -286,6 +309,7 @@ def unpack_frame_uniforms(blob, side_count: int, lod_count: int,
         entries=entries,
         view_tile_int=view_tile_int,
         view_tile_frac=view_tile_frac,
+        culling_planes=culling_planes,
     )
 
 
@@ -298,6 +322,7 @@ def make_frame_uniforms(
     view_tile_int: np.ndarray,
     view_tile_frac: np.ndarray,
     view_config,
+    view_proj: np.ndarray | None = None,
 ) -> FrameUniforms:
     """Assemble FrameUniforms from host-side f64 state."""
     scale = model.scale
@@ -327,4 +352,5 @@ def make_frame_uniforms(
         entries=jnp.asarray(entries, jnp.int32),
         view_tile_int=jnp.asarray(view_tile_int, jnp.int32),
         view_tile_frac=jnp.asarray(view_tile_frac, jnp.float32),
+        culling_planes=jnp.asarray(_planes_of(view_proj), jnp.float32),
     )

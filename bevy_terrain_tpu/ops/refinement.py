@@ -40,6 +40,15 @@ class RefinementOutput(NamedTuple):
     tile_lod: jax.Array  # (F + Q,) i32
     tile_xy: jax.Array  # (F + Q, 2) i32
     tile_count: jax.Array  # () i32
+    # () i32 — tiles/children dropped by the static capacity clamps
+    # (tile_capacity append, queue_capacity expansion). The reference's 1M
+    # geometry_tile_count cap (terrain_view.rs:23-25) never truncates in
+    # practice; ours is sized tightly, so truncation must be LOUD: any
+    # nonzero value means geometry was silently missing this frame and
+    # tile_capacity/queue_capacity need headroom. (int default, not a jnp
+    # scalar: materializing an array at class-definition time would force
+    # backend init at import.)
+    overflow: jax.Array = 0
 
 
 def should_be_divided(side, lod, xy, uniforms: FrameUniforms, cfg: StaticTerrainConfig):
@@ -84,11 +93,16 @@ def refine_tiles(uniforms: FrameUniforms, cfg: StaticTerrainConfig) -> Refinemen
         return (k < cfg.refinement_count) & (q_count > 0)
 
     def body(state):
-        (k, q_side, q_x, q_y, f_side, f_lod, f_x, f_y, q_count, f_count) = state
+        (k, q_side, q_x, q_y, f_side, f_lod, f_x, f_y, q_count, f_count,
+         dropped) = state
         lod = jnp.broadcast_to(k, (Q,)).astype(jnp.int32)
         active = lane < q_count
 
         q_xy = jnp.stack([q_x, q_y], axis=-1)
+        if cfg.culling:
+            # drop out-of-frustum tiles (and their whole subtree) before
+            # they cost subdivision, meshing, or sampling work
+            active = active & coords.tile_visible(q_side, lod, q_xy, uniforms, cfg)
         divide = should_be_divided(q_side, lod, q_xy, uniforms, cfg) & active
         divide = divide & (k + 1 < cfg.refinement_count)
         emit = active & ~divide
@@ -108,6 +122,7 @@ def refine_tiles(uniforms: FrameUniforms, cfg: StaticTerrainConfig) -> Refinemen
         f_lod = jax.lax.dynamic_update_slice(f_lod, lod, (offset,))
         f_x = jax.lax.dynamic_update_slice(f_x, s_x, (offset,))
         f_y = jax.lax.dynamic_update_slice(f_y, s_y, (offset,))
+        dropped = dropped + jnp.maximum(f_count + n_emit - F, 0)
         f_count = jnp.minimum(f_count + n_emit, F)
 
         # --- children of the divided block (rows [n_emit, n_emit + n_div))
@@ -122,9 +137,11 @@ def refine_tiles(uniforms: FrameUniforms, cfg: StaticTerrainConfig) -> Refinemen
         c_side = jnp.repeat(p_side, 4)[:Q]
         c_x = ((p_x[:, None] << 1) + (child_sub & 1)[None, :]).reshape(-1)[:Q]
         c_y = ((p_y[:, None] << 1) + (child_sub >> 1)[None, :]).reshape(-1)[:Q]
+        dropped = dropped + jnp.maximum(4 * n_div - Q, 0)
         new_count = jnp.minimum(4 * n_div, Q)
 
-        return (k + 1, c_side, c_x, c_y, f_side, f_lod, f_x, f_y, new_count, f_count)
+        return (k + 1, c_side, c_x, c_y, f_side, f_lod, f_x, f_y, new_count,
+                f_count, dropped)
 
     state = (
         jnp.int32(0),
@@ -137,9 +154,10 @@ def refine_tiles(uniforms: FrameUniforms, cfg: StaticTerrainConfig) -> Refinemen
         final_y,
         queue_count,
         final_count,
+        jnp.int32(0),
     )
     state = jax.lax.while_loop(cond, body, state)
-    (_, _, _, _, f_side, f_lod, f_x, f_y, _, f_count) = state
+    (_, _, _, _, f_side, f_lod, f_x, f_y, _, f_count, dropped) = state
     return RefinementOutput(
-        f_side, f_lod, jnp.stack([f_x, f_y], axis=-1), f_count
+        f_side, f_lod, jnp.stack([f_x, f_y], axis=-1), f_count, dropped
     )

@@ -54,6 +54,14 @@ class TerrainFrameOutput:
     def tile_count(self) -> int:
         return int(self.tiles.tile_count)
 
+    @property
+    def overflow(self) -> int:
+        """Tiles dropped by the static capacity clamps this frame. Nonzero
+        means geometry was silently missing — raise ``tile_capacity`` /
+        ``queue_capacity`` (the reference's 1M cap never truncates in
+        practice, terrain_view.rs:23-25)."""
+        return int(self.tiles.overflow)
+
 
 class Terrain:
     """A terrain with its atlas and per-view tile trees.
@@ -189,7 +197,16 @@ class Terrain:
 
     # -- per-frame orchestration (reference plugin.rs:46-56 Last schedule) --
 
-    def update(self, view_positions: dict) -> dict[object, TerrainFrameOutput]:
+    def update(self, view_positions: dict,
+               view_projections: dict | None = None) -> dict[object, TerrainFrameOutput]:
+        """Run one frame for every view.
+
+        ``view_projections`` (optional): per-view 4x4 view-projection
+        matrices (math/frustum.py helpers). Needed for views whose static
+        config enables ``culling`` — without one the frustum test accepts
+        everything (the reference's unpopulated-planes state).
+        """
+        view_projections = view_projections or {}
         # 1. request scans (TileTree::compute_requests, plugin.rs:47)
         released, requested = [], []
         for view_id, pos in view_positions.items():
@@ -219,6 +236,7 @@ class Terrain:
                     self.config.model, pos, approx, tree.origins, tree.entries,
                     tree.view_tile_int, tree.view_tile_frac,
                     self.view_configs[view_id],
+                    view_proj=view_projections.get(view_id),
                 )
                 cfg_s = self._static_cfgs[view_id]
                 blob_dev = jax.numpy.asarray(blob)  # ONE transfer per frame
@@ -243,6 +261,7 @@ class Terrain:
                     tree.view_tile_int,
                     tree.view_tile_frac,
                     self.view_configs[view_id],
+                    view_proj=view_projections.get(view_id),
                 )
             if not self.use_grid_mesh:
                 tiles, mesh = self._step(

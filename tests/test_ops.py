@@ -21,7 +21,8 @@ from bevy_terrain_tpu.ops.params import (
 )
 
 
-def build_frame(model, view_config, view_pos, lod_count, entries=None, **cfg_kw):
+def build_frame(model, view_config, view_pos, lod_count, entries=None,
+                view_proj=None, **cfg_kw):
     cfg_kw.setdefault("queue_capacity", 4096)
     cfg = StaticTerrainConfig(
         spherical=model.is_spherical,
@@ -46,7 +47,8 @@ def build_frame(model, view_config, view_pos, lod_count, entries=None, **cfg_kw)
             (model.side_count, lod_count, cfg.tree_size, cfg.tree_size, 2), np.int32
         )
     uniforms = make_frame_uniforms(
-        model, view_pos, approx, origins, entries, vt_int, vt_frac, view_config
+        model, view_pos, approx, origins, entries, vt_int, vt_frac, view_config,
+        view_proj=view_proj,
     )
     return cfg, uniforms
 
@@ -276,3 +278,122 @@ class TestMeshgen:
         out1 = frame(uniforms)
         out2 = frame(uniforms)
         np.testing.assert_array_equal(np.asarray(out1.positions), np.asarray(out2.positions))
+
+
+class TestFrustumCulling:
+    """SURVEY L3 target: per-tile frustum test inside the refinement kernel
+    (the reference declares the 5-plane CullingUniform but never populates
+    it, culling_bind_group.rs:25-55)."""
+
+    def _frames(self, spherical=False):
+        from bevy_terrain_tpu.math import frustum
+
+        model = SPHERE if spherical else PLANAR
+        vc = TerrainViewConfig(tile_capacity=16384)
+        scale = model.scale
+        if spherical:
+            eye = np.array([0.0, 0.0, 6.5e6])
+            target = np.array([0.0, 0.0, 6.4e6])
+        else:
+            # ground-level side-looking camera (the VERDICT scenario)
+            eye = np.array([30.0, -80.0, -20.0])
+            target = eye + np.array([200.0, 0.0, 10.0])
+        vp = frustum.view_projection(eye, target, np.pi / 3, 16 / 9)
+        lods = 8 if not spherical else 6
+        kw = dict(queue_capacity=16384)
+        cfg_on, u_on = build_frame(
+            model, vc, eye, lods, view_proj=vp, culling=True, **kw)
+        cfg_off, u_off = build_frame(model, vc, eye, lods, view_proj=vp, **kw)
+        tiles_on = jax.jit(
+            refinement.refine_tiles, static_argnames="cfg")(u_on, cfg_on)
+        tiles_off = jax.jit(
+            refinement.refine_tiles, static_argnames="cfg")(u_off, cfg_off)
+        assert int(tiles_on.overflow) == 0 and int(tiles_off.overflow) == 0
+        return vp, cfg_on, u_on, tiles_on, tiles_off
+
+    @staticmethod
+    def _tile_set(tiles):
+        n = int(tiles.tile_count)
+        return {
+            (int(s), int(l), int(x), int(y))
+            for s, l, (x, y) in zip(
+                np.asarray(tiles.tile_side[:n]),
+                np.asarray(tiles.tile_lod[:n]),
+                np.asarray(tiles.tile_xy[:n]),
+            )
+        }
+
+    def test_planar_reduction_and_subset(self):
+        vp, cfg, u, tiles_on, tiles_off = self._frames()
+        n_on, n_off = int(tiles_on.tile_count), int(tiles_off.tile_count)
+        # a side-looking ground camera sees well under half the tree
+        assert n_on < n_off / 1.5
+        on, off = self._tile_set(tiles_on), self._tile_set(tiles_off)
+        # culling only removes tiles; whatever survives exists identically
+        # in the uncull frame (identical visible-set selection)
+        assert on <= off
+
+    def test_planar_culled_tiles_outside(self):
+        """No tile intersecting the frustum is ever dropped: every OFF-set
+        tile whose corners are all strictly inside appears in the ON set
+        (conservative test, matching tile_visible's corner volume)."""
+        from bevy_terrain_tpu.math import frustum
+
+        vp, cfg, u, tiles_on, tiles_off = self._frames()
+        on, off = self._tile_set(tiles_on), self._tile_set(tiles_off)
+        planes = frustum.frustum_planes(vp)  # (5, 4)
+        model = PLANAR
+        m = np.asarray(model.world_from_local, np.float64)
+        missing = off - on
+        for s, l, x, y in off:
+            corners = []
+            for cu in (0.0, 1.0):
+                for cv in (0.0, 1.0):
+                    u01 = (np.array([x, y]) + [cu, cv]) / (1 << l)
+                    local = np.array([u01[0] - 0.5, 0.0, u01[1] - 0.5])
+                    world = m[:3, :3] @ local + m[:3, 3]
+                    for h in (model.min_height, model.max_height):
+                        corners.append(world + np.array([0.0, h, 0.0]))
+            d = np.array(corners) @ planes[:, :3].T + planes[:, 3]
+            fully_inside = (d > 1e-3).all()
+            if fully_inside:
+                assert (s, l, x, y) in on, (s, l, x, y)
+            if (s, l, x, y) in missing:
+                # the dropped tile (or an ancestor) was outside some plane;
+                # at minimum it cannot be fully inside
+                assert not fully_inside
+
+    def test_accept_all_planes_is_identity(self):
+        model = PLANAR
+        vc = TerrainViewConfig(tile_capacity=16384)
+        eye = np.array([30.0, -80.0, -20.0])
+        cfg_on, u_on = build_frame(model, vc, eye, 8, culling=True)  # no vp
+        cfg_off, u_off = build_frame(model, vc, eye, 8)
+        t_on = jax.jit(refinement.refine_tiles, static_argnames="cfg")(u_on, cfg_on)
+        t_off = jax.jit(refinement.refine_tiles, static_argnames="cfg")(u_off, cfg_off)
+        assert int(t_on.tile_count) == int(t_off.tile_count)
+        assert self._tile_set(t_on) == self._tile_set(t_off)
+
+    def test_spherical_culling_conservative(self):
+        vp, cfg, u, tiles_on, tiles_off = self._frames(spherical=True)
+        n_on, n_off = int(tiles_on.tile_count), int(tiles_off.tile_count)
+        assert 0 < n_on < n_off  # something culled (far side of planet)
+        assert self._tile_set(tiles_on) <= self._tile_set(tiles_off)
+
+
+class TestRefinementOverflow:
+    def test_overflow_loud(self):
+        vc = TerrainViewConfig(tile_capacity=64)
+        eye = np.array([10.0, -95.0, 5.0])
+        cfg, u = build_frame(PLANAR, vc, eye, 8)
+        tiles = jax.jit(refinement.refine_tiles, static_argnames="cfg")(u, cfg)
+        assert int(tiles.tile_count) == 64
+        assert int(tiles.overflow) > 0
+
+    def test_no_overflow_when_sized(self):
+        vc = TerrainViewConfig(tile_capacity=2048)
+        eye = np.array([10.0, -95.0, 5.0])
+        cfg, u = build_frame(PLANAR, vc, eye, 8)
+        tiles = jax.jit(refinement.refine_tiles, static_argnames="cfg")(u, cfg)
+        assert int(tiles.overflow) == 0
+        assert 0 < int(tiles.tile_count) < 2048
