@@ -151,17 +151,24 @@ def main() -> None:
                 ),
             ),
         )
-        pp_atlas = TileAtlas(pp_config)
-        t0 = _time.time()
-        Preprocessor(pp_atlas).clear_attachment(0).preprocess_tile(
-            PreprocessDataset(attachment_index=0, path=str(tmp / "src.png"),
-                              lod_range=range(0, 4))
-        ).run(verbose=False)
-        dt = _time.time() - t0
-        n_tiles = len(pp_atlas.state.existing_tiles)
+        def run_pp(device: bool) -> tuple[int, float]:
+            pp_atlas = TileAtlas(pp_config)
+            t0 = _time.time()
+            Preprocessor(pp_atlas, device=device).clear_attachment(
+                0
+            ).preprocess_tile(
+                PreprocessDataset(attachment_index=0, path=str(tmp / "src.png"),
+                                  lod_range=range(0, 4))
+            ).run(verbose=False)
+            return len(pp_atlas.state.existing_tiles), _time.time() - t0
+
+        run_pp(True)  # warm the jit caches before timing
+        n_tiles, dt_dev = run_pp(True)
+        _, dt_host = run_pp(False)  # single-thread numpy baseline (oracle path)
         print(
             f"# preprocess: {n_tiles} tiles ({TEXTURE_SIZE}^2 R16, 4 lods) "
-            f"in {dt:.2f}s = {n_tiles / dt:.1f} tiles/s",
+            f"device {n_tiles / dt_dev:.1f} tiles/s vs host-numpy "
+            f"{n_tiles / dt_host:.1f} tiles/s (vs_cpu {dt_host / dt_dev:.2f}x)",
             file=sys.stderr,
         )
     except Exception as exc:  # diagnostics must never break the metric

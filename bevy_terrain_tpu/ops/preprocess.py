@@ -47,12 +47,20 @@ def _tent_matrix(positions: np.ndarray, size: int) -> np.ndarray:
 
 @jax.jit
 def _resize_rows(m, src):
-    return jnp.einsum("kh,hwc->kwc", m, src, preferred_element_type=jnp.float32)
+    # HIGHEST: the resample feeds 16-bit stored heights; default (bf16-pass)
+    # MXU precision would quantize ~0.2% of range into the dataset itself
+    return jnp.einsum(
+        "kh,hwc->kwc", m, src, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 @jax.jit
 def _resize_cols(tmp, m):
-    return jnp.einsum("kwc,lw->klc", tmp, m, preferred_element_type=jnp.float32)
+    return jnp.einsum(
+        "kwc,lw->klc", tmp, m, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def split_mosaic(

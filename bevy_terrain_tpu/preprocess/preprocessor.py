@@ -27,6 +27,8 @@ import numpy as np
 
 from bevy_terrain_tpu.math.coordinate import TileCoordinate
 from bevy_terrain_tpu.ops.preprocess import (
+    _resize_cols,
+    _resize_rows,
     downsample_tile,
     extract_tile_from_mosaic,
     split_mosaic,
@@ -88,9 +90,18 @@ class Preprocessor:
         Preprocessor(atlas).clear_attachment(0).preprocess_tile(dataset).run()
     """
 
-    def __init__(self, tile_atlas: TileAtlas, loader=None):
+    def __init__(self, tile_atlas: TileAtlas, loader=None,
+                 device: bool = True, batch_tiles: int = 256):
+        """``device=True`` (default) runs split/downsample/stitch as jitted
+        whole-lod stack ops (ops/preprocess_device.py — SURVEY section 2.3's
+        device-code commitment); ``device=False`` keeps the per-tile host
+        numpy oracles. Both produce byte-identical .bin artifacts (see
+        tests/test_preprocess_device.py). ``batch_tiles`` bounds the device
+        stack size at deep lods."""
         self.atlas = tile_atlas
         self.loader = loader or _default_loader
+        self.device = device
+        self.batch_tiles = batch_tiles
         self._jobs: list = []
         self.start_time: Optional[float] = None
 
@@ -141,6 +152,7 @@ class Preprocessor:
                     for side_dataset in sides:
                         self._stitch_and_save_layer(side_dataset, lod)
         self._drain_saves()
+        self._dev_stacks = {}  # free device memory between jobs
         self.atlas.save_tile_config()
         if verbose:
             import sys
@@ -161,6 +173,8 @@ class Preprocessor:
         return attachment.data[index.atlas_index] if index is not None else None
 
     def _split_and_downsample(self, dataset: PreprocessDataset) -> None:
+        if self.device:
+            return self._split_and_downsample_device(dataset)
         attachment = self._attachment(dataset)
         cfg = attachment.config
         source = self.loader(dataset.path, cfg)
@@ -189,7 +203,155 @@ class Preprocessor:
                     children, cfg.texture_size, cfg.border_size
                 )
 
+    # -- device phases (jitted lod-stack ops, ops/preprocess_device.py) --
+
+    def _split_and_downsample_device(self, dataset: PreprocessDataset) -> None:
+        """Split + downsample as device stack ops; per-lod stacks stay
+        device-resident (quantized f32) until the stitch phase pulls them.
+
+        Mirrors the reference's GPU compute passes (preprocess/mod.rs:143-218)
+        with whole-lod batches instead of 32-write-slot chunks.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from bevy_terrain_tpu.ops import preprocess_device as ppd
+        from bevy_terrain_tpu.ops.preprocess import _tent_matrix
+
+        attachment = self._attachment(dataset)
+        cfg = attachment.config
+        source = self.loader(dataset.path, cfg)
+        H, W, C = source.shape
+        ts, b, center = cfg.texture_size, cfg.border_size, cfg.center_size
+        max_value = cfg.format.max_value
+
+        lods = list(dataset.lod_range)[::-1]
+        finest = lods[0]
+        count = 1 << finest
+        P = count * center
+
+        # source positions of mosaic texels (split.wgsl:28-33 inverse_mix)
+        uv = (np.arange(P, dtype=np.float64) + 0.5) / P
+        tlx, tly = dataset.top_left
+        brx, bry = dataset.bottom_right
+        px = ((uv - tlx) / (brx - tlx)) * W - 0.5
+        py = ((uv - tly) / (bry - tly)) * H - 0.5
+        mx = jnp.asarray(_tent_matrix(px, W))
+        src_dev = jnp.asarray(source, jnp.float32)
+        nz = source[..., 0] != 0
+        x0 = np.clip(np.floor(px).astype(np.int64), 0, W - 1)
+        x1 = np.clip(x0 + 1, 0, W - 1)
+        y0 = np.clip(np.floor(py).astype(np.int64), 0, H - 1)
+        y1 = np.clip(y0 + 1, 0, H - 1)
+
+        coords = list(dataset.overlapping_tiles(finest))
+        rows_present = sorted({c.y for c in coords})
+        band_tiles, band_valid, row_of = [], [], {}
+        for ty in rows_present:
+            my = jnp.asarray(_tent_matrix(py[ty * center:(ty + 1) * center], H))
+            band = _resize_rows(my, src_dev)  # (center, W, C)
+            band = _resize_cols(band, mx)  # (center, P, C)
+            # validity: the reference's 4-tap textureGather nodata test
+            vy0, vy1 = nz[y0[ty * center:(ty + 1) * center]], nz[y1[ty * center:(ty + 1) * center]]
+            valid = vy0[:, x0] & vy0[:, x1] & vy1[:, x0] & vy1[:, x1]
+            quant = jnp.clip(jnp.rint(band * max_value), 0, max_value)
+            tiles_row = jnp.transpose(
+                quant.reshape(center, count, center, C), (1, 0, 2, 3)
+            )
+            tiles_row = jnp.pad(tiles_row, ((0, 0), (b, b), (b, b), (0, 0)))
+            row_of[ty] = len(band_tiles)
+            band_tiles.append(tiles_row)
+            band_valid.append(valid.reshape(center, count, center).transpose(1, 0, 2))
+        # invalid texels keep existing data (split.wgsl:19-42); borders zero
+        stack_rows = []
+        for c in coords:
+            t = band_tiles[row_of[c.y]][c.x]
+            v = jnp.pad(
+                jnp.asarray(band_valid[row_of[c.y]][c.x][..., None]),
+                ((b, b), (b, b), (0, 0)),
+            )
+            prior = self._data(attachment, c)
+            keep = (
+                jnp.asarray(prior.astype(np.float32))
+                if prior is not None else jnp.zeros_like(t)
+            )
+            stack_rows.append(jnp.where(v, t, keep))
+        stack = jnp.stack(stack_rows) if coords else None
+        for c in coords:
+            self.atlas.state.get_or_allocate_tile(c)
+        key = (dataset.attachment_index, dataset.side)
+        self._dev_stacks = getattr(self, "_dev_stacks", {})
+        self._dev_stacks[key + (finest,)] = (coords, stack)
+
+        for lod in lods[1:]:
+            child_coords, child_stack = self._dev_stacks[key + (lod + 1,)]
+            child_index = {c: i for i, c in enumerate(child_coords)}
+            coords_l = list(dataset.overlapping_tiles(lod))
+            idx = np.full((len(coords_l), 4), -1, np.int32)
+            for i, c in enumerate(coords_l):
+                for q, ch in enumerate(c.children()):
+                    idx[i, q] = child_index.get(ch, -1)
+            parents = ppd.downsample_stack(
+                child_stack, jnp.asarray(idx), ts, b)
+            parents = jnp.rint(parents)  # host downsample_tile quantizes
+            for c in coords_l:
+                self.atlas.state.get_or_allocate_tile(c)
+            self._dev_stacks[key + (lod,)] = (coords_l, parents)
+
+    def _stitch_and_save_layer_device(self, dataset: PreprocessDataset, lod: int) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        from bevy_terrain_tpu.ops import preprocess_device as ppd
+
+        attachment = self._attachment(dataset)
+        cfg = attachment.config
+        spherical = self.atlas.model.is_spherical
+        ai = dataset.attachment_index
+        coords, stack = self._dev_stacks.get(
+            (ai, dataset.side, lod), (None, None))
+        if not coords:
+            return
+        index_of = {c: i for i, c in enumerate(coords)}
+
+        # cross-face neighbours live in other sides' stacks: append their
+        # rows after the stitched block (stitch_stack reads past Nst)
+        extra_rows = []
+        for c in coords:
+            for n in c.neighbours(spherical):
+                if not n.is_valid or n in index_of:
+                    continue
+                other = self._dev_stacks.get((ai, n.side, lod))
+                if other is None:
+                    continue
+                o_coords, o_stack = other
+                try:
+                    row = o_coords.index(n)
+                except ValueError:
+                    continue
+                index_of[n] = len(coords) + len(extra_rows)
+                extra_rows.append(o_stack[row])
+        full = (
+            jnp.concatenate([stack, jnp.stack(extra_rows)], axis=0)
+            if extra_rows else stack
+        )
+        nbr_idx, nbr_side = ppd.stitch_plan(coords, index_of, spherical)
+        stitched = ppd.stitch_stack(
+            full, np.array([c.side for c in coords]),
+            jnp.asarray(nbr_idx), nbr_side, cfg.border_size, spherical,
+        )
+        host = np.asarray(jax.device_get(stitched)).astype(cfg.format.dtype)
+        for i, c in enumerate(coords):
+            state = self.atlas.state.tile_states[c]
+            attachment.data[state.atlas_index] = host[i]
+            self.atlas.state.to_save.append(
+                AtlasTileAttachment(c, state.atlas_index, ai)
+            )
+        self._pump_saves()
+
     def _stitch_and_save_layer(self, dataset: PreprocessDataset, lod: int) -> None:
+        if self.device:
+            return self._stitch_and_save_layer_device(dataset, lod)
         attachment = self._attachment(dataset)
         spherical = self.atlas.model.is_spherical
         stitched = {}
