@@ -33,22 +33,41 @@ class DebugTerrain:
     lighting: bool = True
     sample_grad: bool = True
     high_precision: bool = True
+    # pin every view's tile list (Terrain.set_debug): refinement is skipped
+    # and the frozen list re-meshes from the moving camera — the reference
+    # skips the tiling prepass the same way (debug/mod.rs:186-192,
+    # tiling_prepass.rs:230-232)
     freeze: bool = False
+    # TEST1-3 map to shader defs that NO shader in the reference snapshot
+    # references (grep TEST1|TEST2|TEST3 over src/shaders/* is empty); they
+    # exist purely as respecialization hooks (terrain_material.rs:93-97).
+    # Kept with identical semantics: toggling them changes the static
+    # config hash (forces a recompile) and nothing else.
     test1: bool = False
     test2: bool = False
     test3: bool = False
 
     @property
-    def debug_view(self) -> Optional[str]:
-        if self.show_geometry_lod:
-            return "geometry_lod"
-        if self.show_tile_tree:
-            return "tile_tree"
-        if self.show_uv:
-            return "uv"
+    def debug_view(self):
+        """Active view(s) with fragment_debug's overwrite order
+        (fragment.wgsl:69-87): uv/normals replace last (wiping the pixel
+        overlay); otherwise show_pixels mixes 50% over whichever of
+        data_lod/geometry_lod/tile_tree (or the plain material) is showing.
+        Returns a view name, a tuple of them, or None — the shapes
+        render/material.shade accepts."""
         if self.show_normals:
             return "normals"
-        return None
+        if self.show_uv:
+            return "uv"
+        base = (
+            "tile_tree" if self.show_tile_tree
+            else "geometry_lod" if self.show_geometry_lod
+            else "data_lod" if self.show_data_lod
+            else None
+        )
+        if self.show_pixels:
+            return (base, "pixels") if base else "pixels"
+        return base
 
     def static_overrides(self) -> dict:
         """Flags that specialize the jitted frame step
@@ -58,6 +77,9 @@ class DebugTerrain:
             "blend": self.blend,
             "tile_tree_lod": self.tile_tree_lod,
             "sample_grad": self.sample_grad,
+            "test1": self.test1,
+            "test2": self.test2,
+            "test3": self.test3,
         }
 
 

@@ -66,6 +66,12 @@ class StaticTerrainConfig:
     # unpopulated, culling_bind_group.rs:25-55). Requires
     # FrameUniforms.culling_planes from a real camera projection.
     culling: bool = False
+    # TEST1-3: respecialization hooks whose shader defs no reference
+    # shader consumes (terrain_material.rs:93-97; grep over src/shaders/*
+    # is empty) — identical here: they only change the jit-static hash
+    test1: bool = False
+    test2: bool = False
+    test3: bool = False
     # use the hand-written Pallas fetch+resample kernel for height patches
     # (TPU only; requires grid_size 16; see ops/pallas_kernels.py)
     pallas_sampling: bool = False

@@ -336,6 +336,7 @@ def plan_patch_batch(
         tile_lod=jnp.where(jnp.arange(F) < tiles.tile_count, s_lod, -1),
         tile_xy=jnp.stack([s_x, s_y], axis=-1),
         tile_count=tiles.tile_count,
+        overflow=tiles.overflow,
     )
     batch = PatchBatch(
         uq=uq, slots=slots, rank_lo=rank_lo, rank_hi=rank_hi,

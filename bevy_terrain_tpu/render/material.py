@@ -68,6 +68,38 @@ class ShadeContext:
     normals: jax.Array  # (F, G+1, G+1, 3) shading normals
     uniforms: FrameUniforms
     cfg: StaticTerrainConfig
+    # attachment 0's texture size (attachments[0].size in the reference's
+    # show_pixels, debug.wgsl:111-119)
+    texture_size: int = 512
+
+
+def _vertex_lookup(ctx: ShadeContext):
+    """Per-vertex blend + atlas-tile lookup (fragment_info, fragment.wgsl:
+    35-49) — shared by the data-lod and pixel debug views. Returns
+    (blend_lod, blend_ratio, a_lod, a_xy, a_uv)."""
+    from bevy_terrain_tpu.ops import coords
+
+    cfg = ctx.cfg
+    F, G = cfg.tile_capacity, cfg.grid_size
+    side = jnp.broadcast_to(ctx.tiles.tile_side[:F, None, None], (F, G + 1, G + 1))
+    lod = jnp.broadcast_to(
+        jnp.maximum(ctx.tiles.tile_lod[:F, None, None], 0), (F, G + 1, G + 1)
+    )
+    xy = jnp.broadcast_to(ctx.tiles.tile_xy[:F, None, None, :], (F, G + 1, G + 1, 2))
+    view_distance = jnp.linalg.norm(
+        ctx.mesh.positions - ctx.uniforms.view_world_position, axis=-1
+    )
+    blend_lod, blend_ratio = coords.compute_blend(view_distance, ctx.uniforms, cfg)
+    if cfg.tile_tree_lod:
+        _, a_lod, a_xy, a_uv = coords.lookup_best(
+            ctx.uniforms.entries, ctx.uniforms.origins, side, lod, xy,
+            ctx.mesh.uvs, cfg,
+        )
+    else:
+        _, a_lod, a_xy, a_uv = coords.lookup_tile(
+            ctx.uniforms.entries, side, lod, xy, ctx.mesh.uvs, blend_lod, cfg
+        )
+    return blend_lod, blend_ratio, a_lod, a_xy, a_uv
 
 
 def index_color(index):
@@ -236,11 +268,52 @@ def show_tile_tree(ctx: ShadeContext):
     return jnp.where(inside[..., None], color, grey)
 
 
+def show_data_lod(ctx: ShadeContext):
+    """SHOW_DATA_LOD view (debug.wgsl:37-54): checkerboard of the DATA lod
+    actually sampled, crossfaded toward the parent by the blend ratio,
+    darkened near the transition, side-tinted on spheres."""
+    blend_lod, blend_ratio, a_lod, a_xy, _ = _vertex_lookup(ctx)
+    a_lod = jnp.maximum(a_lod, 0)
+    if ctx.cfg.tile_tree_lod:  # debug.wgsl:38-42 #ifdef TILE_TREE_LOD
+        ratio = jnp.zeros_like(blend_ratio)
+    else:
+        ratio = jnp.where(blend_lod == a_lod, blend_ratio, 0.0)
+    # checker_color (debug.wgsl:27-34)
+    color = index_color(a_lod)
+    parent_color = index_color(jnp.maximum(a_lod - 1, 0))
+    dark = ((a_xy[..., 0] + a_xy[..., 1]) % 2) == 0
+    pdark = (((a_xy[..., 0] >> 1) + (a_xy[..., 1] >> 1)) % 2) == 0
+    color = jnp.where(dark[..., None], color * 0.5, color)
+    parent_color = jnp.where(pdark[..., None], parent_color * 0.5, parent_color)
+    color = color + (parent_color - color) * ratio[..., None]
+    near = (ratio > 0.95) & (blend_lod == a_lod)
+    color = jnp.where(near[..., None], color * 0.2, color)
+    if ctx.cfg.spherical:
+        F, G = ctx.cfg.tile_capacity, ctx.cfg.grid_size
+        side_c = index_color(ctx.tiles.tile_side[:F])[:, None, None, :]
+        color = color + (jnp.broadcast_to(side_c, color.shape) - color) * 0.3
+    return color
+
+
+def show_pixels(ctx: ShadeContext):
+    """SHOW_PIXELS checkerboard of 4x4 atlas texel blocks
+    (debug.wgsl:111-119); composed as a 50% overlay (fragment.wgsl:79-81)."""
+    _, _, _, _, a_uv = _vertex_lookup(ctx)
+    pixel = a_uv * (ctx.texture_size / 4.0)
+    is_even = ((pixel[..., 0].astype(jnp.int32) + pixel[..., 1].astype(jnp.int32)) % 2) == 0
+    grey = jnp.where(is_even, 0.5, 0.1)[..., None]
+    return jnp.concatenate(
+        [jnp.repeat(grey, 3, axis=-1), jnp.ones_like(grey)], axis=-1
+    )
+
+
 DEBUG_VIEWS = {
     "geometry_lod": show_geometry_lod,
+    "data_lod": show_data_lod,
     "uv": show_uv,
     "normals": show_normals,
     "tile_tree": show_tile_tree,
+    "pixels": show_pixels,  # composed as a 50% overlay in shade()
 }
 
 
@@ -252,15 +325,29 @@ def shade(
     material: Optional[Callable] = None,
     lighting: bool = True,
     debug_view: Optional[str] = None,
+    texture_size: int = 512,
 ):
     """Fragment-stage composition (fragment.wgsl:95-113): material color,
-    optional lighting, optional debug overlay. Returns (F, G+1, G+1, 4)."""
+    optional lighting, optional debug overlay. Returns (F, G+1, G+1, 4).
+
+    ``debug_view="pixels"`` (or any other view with show_pixels active via
+    Terrain.set_debug) composes the texel checkerboard as a 50% overlay on
+    the current color, after the replacing views — fragment_debug's
+    ordering (fragment.wgsl:69-81).
+    """
     normals = surface_normals_from_heights(mesh, tiles, uniforms, cfg)
-    ctx = ShadeContext(mesh=mesh, tiles=tiles, normals=normals, uniforms=uniforms, cfg=cfg)
+    ctx = ShadeContext(
+        mesh=mesh, tiles=tiles, normals=normals, uniforms=uniforms, cfg=cfg,
+        texture_size=texture_size,
+    )
     colors = (material or default_color)(ctx)
     if lighting:
         colors = lambert_lighting(colors, normals)
-    if debug_view is not None:
-        colors = DEBUG_VIEWS[debug_view](ctx)
+    views = (debug_view,) if isinstance(debug_view, (str, type(None))) else debug_view
+    for view in views:
+        if view == "pixels":
+            colors = colors + (show_pixels(ctx) - colors) * 0.5
+        elif view is not None:
+            colors = DEBUG_VIEWS[view](ctx)
     mask = mesh.tile_mask[:, None, None, None]
     return jnp.where(mask, colors, 0.0)

@@ -99,6 +99,20 @@ class Terrain:
         # shading config: None = vertex buffers only; set via set_shading()
         self._shade_opts = None
         self._last_uniforms = {}
+        # freeze support (reference debug/mod.rs:186-192: the prepass is
+        # skipped and the last tile list is re-drawn from the new camera)
+        self.debug = None
+        self._frozen_tiles: dict = {}
+        if grid_in_shardings is not None:
+            self._step_grid_frozen = jax.jit(
+                self._frame_step_grid_frozen,
+                static_argnames=static_names,
+                in_shardings=(grid_in_shardings[0], None, None),
+            )
+        else:
+            self._step_grid_frozen = jax.jit(
+                self._frame_step_grid_frozen, static_argnames=static_names
+            )
         self.frame_index = 0
         # gather-free fast path (TPU has no per-lane gather; see
         # ops/patch_sampling.py); falls back to the exact per-vertex path
@@ -147,7 +161,72 @@ class Terrain:
         equivalent; see render/material.py). ``material`` must be a stable
         jittable callable — it is a jit-static argument."""
         self.shading_fn = material
-        self._shade_opts = (lighting, debug_view) if enabled else None
+        ts = (
+            self.atlas.attachments[0].config.texture_size
+            if self.atlas.attachments else 512
+        )
+        self._shade_opts = (lighting, debug_view, ts) if enabled else None
+
+    def set_debug(self, debug) -> None:
+        """Apply a DebugTerrain resource (reference debug/mod.rs:94-260).
+
+        Pipeline-specialization toggles (morph/blend/tile_tree_lod/
+        sample_grad) rebuild each view's static config — a recompile,
+        exactly like the reference's shader-def respecialization; view
+        toggles select the debug color output; ``freeze`` pins every view's
+        tile list until released."""
+        self.debug = debug
+        if debug is None:
+            self._frozen_tiles.clear()
+            return
+        for view_id in list(self._static_cfgs):
+            self._static_cfgs[view_id] = dataclasses.replace(
+                self._static_cfgs[view_id], **debug.static_overrides()
+            )
+        if debug.debug_view is not None or self._shade_opts is not None:
+            self.set_shading(
+                self.shading_fn, lighting=debug.lighting,
+                debug_view=debug.debug_view,
+            )
+        if not debug.freeze:
+            self._frozen_tiles.clear()
+
+    def tune_view(self, view_id, **changes) -> None:
+        """Runtime view-parameter tuning (reference debug/mod.rs:216-260:
+        morph/blend/load distance and grid-size halving/doubling).
+
+        Distance/range changes flow into the next frame's uniforms with no
+        recompile; ``grid_size``/``tree_size``/``tile_capacity`` changes
+        rebuild the TileTree and static config (a respecialization, like
+        the reference swapping pipelines)."""
+        old = self.view_configs[view_id]
+        new = dataclasses.replace(old, **changes)
+        self.view_configs[view_id] = new
+        structural = {"tree_size", "grid_size", "tile_capacity"} & set(changes)
+        tree = self.tile_trees[view_id]
+        if structural:
+            held = tree._collect(tree.tile_requested, tree.tile_xy)
+            self.atlas.update(released_tiles=held)
+            queue_capacity = self._static_cfgs[view_id].queue_capacity
+            overrides = {
+                f: getattr(self._static_cfgs[view_id], f)
+                for f in ("morph", "blend", "tile_tree_lod", "sample_grad",
+                          "culling", "high_precision")
+            }
+            self.add_view(view_id, new, queue_capacity=queue_capacity,
+                          **overrides)
+        else:
+            scale = self.config.model.scale
+            tree.view_config = new
+            tree.morph_distance = new.morph_distance * scale
+            tree.blend_distance = new.blend_distance * scale
+            tree.load_distance = new.load_distance * scale
+            tree.subdivision_distance = (
+                new.morph_distance * scale * (1.0 + new.subdivision_tolerance)
+            )
+            tree.morph_range = new.morph_range
+            tree.blend_range = new.blend_range
+        self._frozen_tiles.pop(view_id, None)
 
     def remove_view(self, view_id) -> None:
         """Release every tile the view still holds, then drop it."""
@@ -184,15 +263,35 @@ class Terrain:
         mesh, tiles = meshgen.generate_mesh_grid(
             tiles, block_array, uniforms, cfg, plan, max_value
         )
-        colors = None
-        if shade_opts is not None:
-            from bevy_terrain_tpu.render.material import shade
+        colors = Terrain._maybe_shade(mesh, tiles, uniforms, cfg, shade_opts, material)
+        return tiles, mesh, colors
 
-            lighting, debug_view = shade_opts
-            colors = shade(
-                mesh, tiles, uniforms, cfg,
-                material=material, lighting=lighting, debug_view=debug_view,
-            )
+    @staticmethod
+    def _maybe_shade(mesh, tiles, uniforms, cfg, shade_opts, material):
+        if shade_opts is None:
+            return None
+        from bevy_terrain_tpu.render.material import shade
+
+        lighting, debug_view, texture_size = shade_opts
+        return shade(
+            mesh, tiles, uniforms, cfg,
+            material=material, lighting=lighting, debug_view=debug_view,
+            texture_size=texture_size,
+        )
+
+    @staticmethod
+    def _frame_step_grid_frozen(block_array, uniform_blob, tiles,
+                                cfg: StaticTerrainConfig, plan, max_value: float,
+                                shade_opts=None, material=None):
+        """Frozen-prepass frame (debug freeze, debug/mod.rs:186-192): mesh
+        the GIVEN tile list from the new camera instead of refining."""
+        uniforms = unpack_frame_uniforms(
+            uniform_blob, cfg.side_count, cfg.lod_count, cfg.tree_size
+        )
+        mesh, tiles = meshgen.generate_mesh_grid(
+            tiles, block_array, uniforms, cfg, plan, max_value
+        )
+        colors = Terrain._maybe_shade(mesh, tiles, uniforms, cfg, shade_opts, material)
         return tiles, mesh, colors
 
     # -- per-frame orchestration (reference plugin.rs:46-56 Last schedule) --
@@ -240,16 +339,34 @@ class Terrain:
                 )
                 cfg_s = self._static_cfgs[view_id]
                 blob_dev = jax.numpy.asarray(blob)  # ONE transfer per frame
-                # positional args: pjit rejects kwargs with in_shardings
-                tiles, mesh, colors = self._step_grid(
-                    height.block_array,
-                    blob_dev,
-                    cfg_s,
-                    height.patch_plan,
-                    height.config.format.max_value,
-                    self._shade_opts,
-                    self.shading_fn,
+                frozen = (
+                    self.debug is not None and self.debug.freeze
+                    and view_id in self._frozen_tiles
                 )
+                # positional args: pjit rejects kwargs with in_shardings
+                if frozen:
+                    tiles, mesh, colors = self._step_grid_frozen(
+                        height.block_array,
+                        blob_dev,
+                        self._frozen_tiles[view_id],
+                        cfg_s,
+                        height.patch_plan,
+                        height.config.format.max_value,
+                        self._shade_opts,
+                        self.shading_fn,
+                    )
+                else:
+                    tiles, mesh, colors = self._step_grid(
+                        height.block_array,
+                        blob_dev,
+                        cfg_s,
+                        height.patch_plan,
+                        height.config.format.max_value,
+                        self._shade_opts,
+                        self.shading_fn,
+                    )
+                    if self.debug is not None and self.debug.freeze:
+                        self._frozen_tiles[view_id] = tiles
                 uniforms = blob_dev  # packed; unpacked inside jits
             else:
                 uniforms = make_frame_uniforms(

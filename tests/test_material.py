@@ -237,3 +237,115 @@ class TestMorphInvariantOverlay:
         pure_green = (c[..., 0] == 0.0) & (c[..., 1] == 1.0) & (c[..., 2] == 0.0)
         assert pure_red.mean() < 0.01 and pure_green.mean() < 0.01
         t.set_shading(lighting=True)
+
+
+class TestDataLodAndPixelsViews:
+    def test_show_data_lod_colors(self, shaded_terrain):
+        t, view, _ = shaded_terrain
+        t.set_shading(debug_view="data_lod", lighting=False)
+        out = t.update({"cam": view})["cam"]
+        c = np.asarray(out.colors)[np.asarray(out.mesh.tile_mask)]
+        # checkerboard of index colors: nonuniform, in range; alpha follows
+        # the reference's vec4 darkening (mix toward vec4(0.0) scales alpha
+        # too, debug.wgsl:31-32) so it is in (0, 1], not constant 1
+        assert c.min() >= 0.0 and c.max() <= 1.0 + 1e-6
+        assert np.asarray(c[..., :3]).std() > 0.05
+        assert c[..., 3].min() > 0.0 and c[..., 3].max() <= 1.0 + 1e-6
+        t.set_shading(enabled=True, lighting=True)
+
+    def test_show_pixels_overlay(self, shaded_terrain):
+        t, view, _ = shaded_terrain
+        t.set_shading(lighting=False)
+        base = t.update({"cam": view})["cam"]
+        t.set_shading(debug_view="pixels", lighting=False)
+        over = t.update({"cam": view})["cam"]
+        mask = np.asarray(base.mesh.tile_mask)
+        cb = np.asarray(base.colors)[mask]
+        co = np.asarray(over.colors)[mask]
+        # 50% mix toward a 0.5/0.1 checkerboard: every texel moved, values
+        # are exactly mix(base, {0.5,0.1}, 0.5)
+        expect_hi = cb[..., :3] * 0.5 + 0.25
+        expect_lo = cb[..., :3] * 0.5 + 0.05
+        close = (np.abs(co[..., :3] - expect_hi) < 1e-5) | (
+            np.abs(co[..., :3] - expect_lo) < 1e-5
+        )
+        assert close.all()
+        t.set_shading(enabled=True, lighting=True)
+
+    def test_debug_view_priority_tuple(self):
+        d = DebugTerrain(show_data_lod=True, show_pixels=True)
+        assert d.debug_view == ("data_lod", "pixels")
+        d = DebugTerrain(show_normals=True, show_pixels=True)
+        assert d.debug_view == "normals"
+        assert DebugTerrain(show_pixels=True).debug_view == "pixels"
+
+
+class TestFreeze:
+    def test_freeze_pins_tile_list(self, shaded_terrain):
+        t, view, _ = shaded_terrain
+        d = DebugTerrain(freeze=True)
+        t.set_debug(d)
+        def tile_set(out):
+            n = out.tile_count
+            return {
+                (int(l), int(x), int(y))
+                for l, (x, y) in zip(
+                    np.asarray(out.tiles.tile_lod[:n]),
+                    np.asarray(out.tiles.tile_xy[:n]),
+                )
+            }
+
+        def rows(out):
+            n = out.tile_count
+            return {
+                (int(l), int(x), int(y)): np.asarray(out.mesh.uvs[i])
+                for i, (l, (x, y)) in enumerate(zip(
+                    np.asarray(out.tiles.tile_lod[:n]),
+                    np.asarray(out.tiles.tile_xy[:n]),
+                ))
+            }
+
+        out1 = t.update({"cam": view})["cam"]
+        frozen = tile_set(out1)
+        n1 = out1.tile_count
+        # move the camera far enough that refinement WOULD change; the
+        # tile SET must stay pinned (row order re-sorts by atlas quad id —
+        # a tile list is a set)
+        moved = view + np.array([300.0, -120.0, 200.0])
+        out2 = t.update({"cam": moved})["cam"]
+        assert out2.tile_count == n1
+        assert tile_set(out2) == frozen
+        # mesh still re-morphs from the NEW camera (not a frozen mesh)
+        r1, r2 = rows(out1), rows(out2)
+        diffs = [
+            float(np.abs(r1[k] - r2[k]).max()) for k in frozen
+        ]
+        assert max(diffs) > 1e-4
+        # unfreeze: refinement resumes and the tile list changes
+        t.set_debug(DebugTerrain(freeze=False))
+        out3 = t.update({"cam": moved})["cam"]
+        assert tile_set(out3) != frozen
+        t.set_debug(None)
+
+
+class TestTuneView:
+    def test_distance_tuning_no_recompile(self, shaded_terrain):
+        t, view, _ = shaded_terrain
+        # overflow-free operating points: the fixture's default
+        # morph_distance saturates its small tile_capacity
+        t.tune_view("cam", morph_distance=1.0)
+        coarse = t.update({"cam": view})["cam"]
+        t.tune_view("cam", morph_distance=2.0)  # doubling -> finer tiles
+        fine = t.update({"cam": view})["cam"]
+        assert coarse.overflow == 0 and fine.overflow == 0
+        assert coarse.tile_count < fine.tile_count
+        t.tune_view("cam", morph_distance=16.0)
+
+    def test_grid_size_respecializes(self, shaded_terrain):
+        t, view, _ = shaded_terrain
+        t.tune_view("cam", grid_size=8)
+        out = t.update({"cam": view})["cam"]
+        assert out.mesh.heights.shape[1] == 9
+        t.tune_view("cam", grid_size=16)
+        out = t.update({"cam": view})["cam"]
+        assert out.mesh.heights.shape[1] == 17
