@@ -162,15 +162,28 @@ def main() -> None:
             ).run(verbose=False)
             return len(pp_atlas.state.existing_tiles), _time.time() - t0
 
-        run_pp(True)  # warm the jit caches before timing
-        n_tiles, dt_dev = run_pp(True)
-        _, dt_host = run_pp(False)  # single-thread numpy baseline (oracle path)
-        print(
-            f"# preprocess: {n_tiles} tiles ({TEXTURE_SIZE}^2 R16, 4 lods) "
-            f"device {n_tiles / dt_dev:.1f} tiles/s vs host-numpy "
-            f"{n_tiles / dt_host:.1f} tiles/s (vs_cpu {dt_host / dt_dev:.2f}x)",
-            file=sys.stderr,
-        )
+        from bevy_terrain_tpu.utils.transfer import d2h_is_fast
+
+        if d2h_is_fast():
+            run_pp(True)  # warm the jit caches before timing
+            n_tiles, dt_dev = run_pp(True)
+            _, dt_host = run_pp(False)  # single-thread numpy baseline
+            print(
+                f"# preprocess: {n_tiles} tiles ({TEXTURE_SIZE}^2 R16, 4 lods) "
+                f"device {n_tiles / dt_dev:.1f} tiles/s vs host-numpy "
+                f"{n_tiles / dt_host:.1f} tiles/s (vs_cpu {dt_host / dt_dev:.2f}x)",
+                file=sys.stderr,
+            )
+        else:
+            # tunneled rig: D2H ~50 KB/s makes the device path unusable
+            # (utils/transfer.py); report the host path only
+            n_tiles, dt_host = run_pp(False)
+            print(
+                f"# preprocess: {n_tiles} tiles ({TEXTURE_SIZE}^2 R16, 4 lods) "
+                f"host-numpy {n_tiles / dt_host:.1f} tiles/s "
+                f"(device path skipped: degraded D2H link)",
+                file=sys.stderr,
+            )
     except Exception as exc:  # diagnostics must never break the metric
         print(f"# preprocess diagnostic failed: {exc}", file=sys.stderr)
     print(

@@ -12,7 +12,15 @@ dimension inside a view — shardable over an ICI mesh:
   sharded across devices with all_gather on demand (large-atlas scaling).
 """
 
-from bevy_terrain_tpu.parallel.multi_view import multi_view_frame_step
+from bevy_terrain_tpu.parallel.multi_view import (
+    MultiViewTerrain,
+    multi_view_frame_step,
+)
 from bevy_terrain_tpu.parallel.sharded_atlas import fetch_patches_sharded, shard_blocks
 
-__all__ = ["fetch_patches_sharded", "multi_view_frame_step", "shard_blocks"]
+__all__ = [
+    "MultiViewTerrain",
+    "fetch_patches_sharded",
+    "multi_view_frame_step",
+    "shard_blocks",
+]

@@ -91,13 +91,21 @@ class Preprocessor:
     """
 
     def __init__(self, tile_atlas: TileAtlas, loader=None,
-                 device: bool = True, batch_tiles: int = 256):
-        """``device=True`` (default) runs split/downsample/stitch as jitted
-        whole-lod stack ops (ops/preprocess_device.py — SURVEY section 2.3's
+                 device: Optional[bool] = None, batch_tiles: int = 256):
+        """``device=True`` runs split/downsample/stitch as jitted whole-lod
+        stack ops (ops/preprocess_device.py — SURVEY section 2.3's
         device-code commitment); ``device=False`` keeps the per-tile host
         numpy oracles. Both produce byte-identical .bin artifacts (see
-        tests/test_preprocess_device.py). ``batch_tiles`` bounds the device
-        stack size at deep lods."""
+        tests/test_preprocess_device.py). Default (None) auto-selects: the
+        device path needs the stitched stacks back on the host for saving,
+        so it is only chosen when the D2H link is healthy
+        (utils/transfer.d2h_is_fast — tunneled test rigs measure ~50 KB/s
+        readback and must preprocess on host). ``batch_tiles`` bounds the
+        device stack size at deep lods."""
+        if device is None:
+            from bevy_terrain_tpu.utils.transfer import d2h_is_fast
+
+            device = d2h_is_fast()
         self.atlas = tile_atlas
         self.loader = loader or _default_loader
         self.device = device

@@ -1,0 +1,44 @@
+"""Host<->device transfer health probe.
+
+Some TPU attach points (tunneled single-chip test rigs) have pathological
+device->host bandwidth (measured 4 MB in ~75 s, ~50 KB/s, while H2D runs
+at >100 MB/s). Compute paths that round-trip bulk data — the device
+preprocess pipeline pulls whole stitched lod stacks back for saving —
+must fall back to host compute there, while true deployments (fast PCIe/
+ICI-attached hosts) keep the device path.
+
+The probe times one small device_get and caches the verdict per process.
+"""
+
+from __future__ import annotations
+
+import time
+
+_D2H_FAST: bool | None = None
+
+# 256 KB probe; > 1 s for 256 KB (< 0.25 MB/s) marks the link degraded.
+_PROBE_BYTES = 1 << 18
+_THRESHOLD_S = 1.0
+
+
+def d2h_is_fast() -> bool:
+    """True when device->host readback is usable for bulk data."""
+    global _D2H_FAST
+    if _D2H_FAST is None:
+        import jax
+        import numpy as np
+
+        if jax.default_backend() == "cpu":
+            _D2H_FAST = True
+        else:
+            x = jax.device_put(np.zeros(_PROBE_BYTES // 4, np.float32))
+            x.block_until_ready()
+            t0 = time.perf_counter()
+            np.asarray(jax.device_get(x))
+            _D2H_FAST = (time.perf_counter() - t0) < _THRESHOLD_S
+    return _D2H_FAST
+
+
+def _reset_probe() -> None:  # test hook
+    global _D2H_FAST
+    _D2H_FAST = None

@@ -1,0 +1,135 @@
+"""MultiViewTerrain: N distinct views, one shared (optionally sharded)
+atlas, stepped under shard_map on the virtual 8-device CPU mesh.
+
+The scale-out of the reference's multi-view sharing (terrain_view.rs:6-7;
+SURVEY section 2.2 distributed row). Each view must produce the SAME frame
+it would produce through the single-device Terrain pipeline.
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+import jax
+
+from bevy_terrain_tpu import (
+    AttachmentConfig,
+    AttachmentFormat,
+    Terrain,
+    TerrainConfig,
+    TerrainModel,
+    TerrainViewConfig,
+)
+from bevy_terrain_tpu.parallel import MultiViewTerrain
+from bevy_terrain_tpu.utils.synthetic import generate_planar_dataset
+
+N_VIEWS = 8
+
+
+def _make_config(root):
+    att = AttachmentConfig(
+        name="height", texture_size=512, border_size=2, mip_level_count=4,
+        format=AttachmentFormat.R16,
+    )
+    generate_planar_dataset("terrains/mv", 3, att, root=str(root))
+    return TerrainConfig(
+        lod_count=3,
+        model=TerrainModel.planar(np.zeros(3), 1000.0, 0.0, 100.0),
+        atlas_size=64, path="terrains/mv", attachments=(att,),
+        assets_root=str(root),
+    )
+
+
+def _view_positions():
+    rng = np.random.default_rng(5)
+    return {
+        f"v{i}": np.array([
+            rng.uniform(-300, 300), rng.uniform(80, 400), rng.uniform(-300, 300)
+        ])
+        for i in range(N_VIEWS)
+    }
+
+
+def _stream(mvt, positions, frames=40):
+    for _ in range(frames):
+        out = mvt.update(positions)
+        if not mvt.atlas.state.to_load and not any(
+            a.loading for a in mvt.atlas.attachments
+        ):
+            break
+        time.sleep(0.01)
+    return mvt.update(positions)
+
+
+@pytest.fixture(scope="module", params=[False, True], ids=["replicated", "sharded"])
+def mvt_frames(request, tmp_path_factory):
+    if len(jax.devices()) < N_VIEWS:
+        pytest.skip("needs 8 virtual devices")
+    root = tmp_path_factory.mktemp("assets")
+    config = _make_config(root)
+    # overflow-free operating point: the default morph_distance saturates
+    # small capacities (every view would clamp to the same count)
+    vc = TerrainViewConfig(tile_capacity=512, morph_distance=2.0,
+                           blend_distance=1.0)
+    mvt = MultiViewTerrain(
+        config, list(_view_positions()), devices=jax.devices()[:N_VIEWS],
+        view_config=vc, queue_capacity=1024, shard_atlas=request.param,
+    )
+    positions = _view_positions()
+    outs = _stream(mvt, positions)
+    return config, vc, mvt, positions, outs
+
+
+class TestMultiViewTerrain:
+    def test_distinct_views_distinct_frames(self, mvt_frames):
+        _, _, _, positions, outs = mvt_frames
+        counts = {v: outs[v].tile_count for v in outs}
+        assert all(c > 0 for c in counts.values())
+        # cameras at different heights/positions refine differently
+        assert len(set(counts.values())) > 1
+
+    def test_views_share_one_atlas(self, mvt_frames):
+        _, _, mvt, _, _ = mvt_frames
+        # every view's requests landed in the SAME residency table
+        total_requested = sum(
+            len(t._collect(t.tile_requested, t.tile_xy))
+            for t in mvt.tile_trees.values()
+        )
+        distinct_resident = len(mvt.atlas.state.tile_states)
+        assert distinct_resident > 0
+        # shared slots: residency is deduplicated across views
+        assert distinct_resident <= total_requested
+
+    def test_matches_single_device_terrain(self, mvt_frames):
+        config, vc, mvt, positions, outs = mvt_frames
+        t = Terrain(config)
+        for v in positions:
+            t.add_view(v, vc, queue_capacity=1024)
+        for _ in range(40):
+            ref = t.update(positions)
+            if not t.atlas.state.to_load and not any(
+                a.loading for a in t.atlas.attachments
+            ):
+                break
+            time.sleep(0.01)
+        ref = t.update(positions)
+        for v in positions:
+            a, b = outs[v], ref[v]
+            assert a.tile_count == b.tile_count, v
+            ka = np.asarray(a.tiles.tile_xy[: a.tile_count])
+            kb = np.asarray(b.tiles.tile_xy[: b.tile_count])
+            la = np.asarray(a.tiles.tile_lod[: a.tile_count])
+            lb = np.asarray(b.tiles.tile_lod[: b.tile_count])
+            set_a = {(int(l), int(x), int(y)) for l, (x, y) in zip(la, ka)}
+            set_b = {(int(l), int(x), int(y)) for l, (x, y) in zip(lb, kb)}
+            assert set_a == set_b, v
+            # heights agree per tile (same atlas content, same sampler)
+            ha = {k: h for k, h in zip(
+                map(tuple, np.stack([la, ka[:, 0], ka[:, 1]], -1)),
+                np.asarray(a.mesh.heights[: a.tile_count]))}
+            hb = {k: h for k, h in zip(
+                map(tuple, np.stack([lb, kb[:, 0], kb[:, 1]], -1)),
+                np.asarray(b.mesh.heights[: b.tile_count]))}
+            for k in ha:
+                np.testing.assert_allclose(ha[k], hb[k], atol=2e-3, err_msg=v)
