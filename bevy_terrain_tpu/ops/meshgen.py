@@ -74,12 +74,19 @@ def generate_mesh_grid(
     plan,
     max_value: float,
     assume_sorted: bool = False,
+    fetch_fn=None,
+    n_blocks: int | None = None,
 ) -> tuple[GridMeshOutput, RefinementOutput]:
     """Fast-path mesh generation on the (G+1)^2 grid layout.
 
     Same math as :func:`generate_mesh` (vertex.wgsl:30-98) but with heights
     from the gather-free patch pipeline (see ops/patch_sampling.py) and one
     lane per unique grid vertex.
+
+    ``fetch_fn(block_array, ids) -> (F, 64, 64) f32`` overrides the XLA
+    patch fetch — the hook for sharded-atlas fetches inside shard_map
+    (parallel/sharded_atlas.py), where ``block_array`` is this device's
+    shard and ids are global (pass the global ``n_blocks``).
 
     Returns (mesh, sorted_tiles): the tile list reordered by atlas quad id
     (the order the mesh rows are in — see patch_sampling.PatchBatch; a tile
@@ -99,8 +106,9 @@ def generate_mesh_grid(
     else:
         tiles_per_step = 64
     tiles, batch = ps.plan_patch_batch(
-        tiles, uniforms, cfg, plan, block_array.shape[0], tiles_per_step,
-        assume_sorted=assume_sorted,
+        tiles, uniforms, cfg, plan,
+        n_blocks if n_blocks is not None else block_array.shape[0],
+        tiles_per_step, assume_sorted=assume_sorted,
     )
     t_side = tiles.tile_side[:F]
     t_lod = jnp.maximum(tiles.tile_lod[:F], 0)
@@ -118,7 +126,9 @@ def generate_mesh_grid(
         h_mix = pallas_kernels.fetch_resample_cached(block_array, batch)[:F]
         h_mix = h_mix / max_value
     else:
-        patch = ps.fetch_patches_xla(block_array, batch.ids[:F, None])
+        patch = (fetch_fn or ps.fetch_patches_xla)(
+            block_array, batch.ids[:F, None]
+        )
         h_mix = ps.halfgrid_resample(
             patch, batch.geom[:F, 0:2], batch.geom[:F, 2], cfg,
             ratio=batch.geom[:F, 4] if (cfg.blend and not per_vertex) else None,

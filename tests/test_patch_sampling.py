@@ -229,8 +229,16 @@ class TestSeamContinuity:
     def test_cross_lod_edges_close(self, big_terrain):
         """At a coarse-fine boundary the fine tile's even edge vertices sit
         on the coarse tile's edge (morph collapses the odd ones); heights may
-        differ by the data-lod blend but positions must be near-continuous."""
-        terrain, _, out = big_terrain
+        differ by the data-lod blend but positions must be near-continuous.
+
+        The fixture frame is re-refined from a ground-level corner camera
+        with a short morph distance, which GUARANTEES a lod gradient (and
+        therefore cross-lod right-edge boundaries) — the assertion can
+        never silently skip."""
+        terrain, _, _ = big_terrain
+        terrain.tune_view("cam", morph_distance=2.0)
+        out = terrain.update({"cam": np.array([-380.0, 30.0, -380.0])})["cam"]
+        terrain.tune_view("cam", morph_distance=16.0)
         n = out.tile_count
         lod = np.asarray(out.tiles.tile_lod[:n])
         xy = np.asarray(out.tiles.tile_xy[:n])
@@ -254,8 +262,7 @@ class TestSeamContinuity:
             tile_size = 1000.0 / (1 << int(l))
             assert np.median(err) < 0.15 * tile_size, (l, x, y, float(np.median(err)))
             checked += 1
-        if checked == 0:
-            pytest.skip("no cross-lod right-edge boundaries in this frame")
+        assert checked > 0, "fixture frame lost its lod gradient"
 
 
 class TestQuadRows:
