@@ -414,6 +414,38 @@ def tile_visible(side, lod, xy, uniforms: FrameUniforms, cfg: StaticTerrainConfi
     hmin = jnp.minimum(uniforms.min_height, 0.0)
     hmax = jnp.maximum(uniforms.max_height, 0.0)
 
+    if not cfg.spherical:
+        # planar tiles are exact parallelepipeds (affine image of
+        # rect x height), so max-over-corners equals the box support
+        # function: d_max = p . center + sum |p . half_axis| — three mads
+        # per plane instead of eight full corner chains (the dense
+        # refinement evaluates every tile of every level, refinement.py)
+        m = uniforms.world_from_local  # (3, 4)
+        inv_count = jnp.exp2(-lod.astype(jnp.float32))  # (...)
+        n_up = uniforms.normal_matrix[:, 1]
+        n_up = n_up / jnp.linalg.norm(n_up)
+        cx = (xy[..., 0].astype(jnp.float32) + 0.5) * inv_count - 0.5
+        cz = (xy[..., 1].astype(jnp.float32) + 0.5) * inv_count - 0.5
+        hmid = 0.5 * (hmin + hmax)
+        hhalf = 0.5 * (hmax - hmin)
+        # center = M @ (cx, 0, cz) + t + hmid * n_up
+        px = m[0, 0] * cx + m[0, 2] * cz + m[0, 3] + hmid * n_up[0]
+        py = m[1, 0] * cx + m[1, 2] * cz + m[1, 3] + hmid * n_up[1]
+        pz = m[2, 0] * cx + m[2, 2] * cz + m[2, 3] + hmid * n_up[2]
+        # per-plane projections of the three half-axes (scalars / (...,))
+        pn = planes[:, :3]  # (5, 3)
+        pa = jnp.abs(pn @ m[:, 0])  # (5,) |p . Mcol0|
+        pc = jnp.abs(pn @ m[:, 2])
+        ph = jnp.abs(pn @ n_up) * hhalf
+        d = (
+            px[..., None] * planes[:, 0]
+            + py[..., None] * planes[:, 1]
+            + pz[..., None] * planes[:, 2]
+            + planes[:, 3]
+        )
+        r = (pa + pc) * (0.5 * inv_count[..., None]) + ph
+        return jnp.all(d + r >= 0.0, axis=-1)
+
     # max over the 8 corners of the signed distance, per plane
     dmax = None
     for cu in (0.0, 1.0):

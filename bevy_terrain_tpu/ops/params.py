@@ -54,11 +54,18 @@ class StaticTerrainConfig:
     # half-grids + a second window interpolation)
     blend_per_vertex: bool = False
     high_precision: bool = False
-    # SAMPLE_GRAD exists in the reference for screen-space-gradient mip
-    # selection in the fragment stage; the per-vertex model has no screen
-    # derivatives — the equivalent (mip matched to vertex density) is
-    # built into patch_geometry, so the flag is accepted for config parity
-    # but has no further effect
+    # SAMPLE_GRAD exists in the reference for screen-space-gradient
+    # (anisotropy-16) mip selection in the fragment stage
+    # (terrain_bind_group.rs:124, attachments.wgsl:12-24); the per-vertex
+    # model has no screen derivatives — patch_geometry instead pins the
+    # mip to the vertex half-grid density, which MEASURABLY bounds the
+    # height error by the field's super-Nyquist energy while reproducing
+    # representable content to interpolation error
+    # (tests/test_patch_sampling.py::TestVertexDensityMipBound: a 5 m
+    # 3-texel ripple on 100 m range -> p95 total error < 7 m, banded
+    # error median < 1 m). Screen-space anisotropic resampling is the
+    # consuming rasterizer's concern. The flag is retained for config
+    # parity and, like the reference's pipeline bit, only respecializes.
     sample_grad: bool = True
     tile_tree_lod: bool = False  # lookup_best walk instead of blend lod
     # frustum-cull tiles during refinement (SURVEY L3 target; the

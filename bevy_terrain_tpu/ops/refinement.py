@@ -61,6 +61,21 @@ def should_be_divided(side, lod, xy, uniforms: FrameUniforms, cfg: StaticTerrain
     return view_distance < uniforms.subdivision_distance / coords.tile_count(lod)
 
 
+def dense_level_cap(cfg: StaticTerrainConfig, budget: int = 32768) -> int:
+    """Deepest lod evaluated DENSELY (all side_count * 4^k tiles at once).
+
+    Dense levels replace the queue's per-level sort-compactions with pure
+    elementwise masks (see refine_tiles); deeper levels spill into the
+    queue loop. The cap keeps the total dense lane count under ``budget``.
+    """
+    total, k = 0, -1
+    while True:
+        nxt = total + cfg.side_count * (4 ** (k + 1))
+        if nxt > budget or k + 1 >= cfg.refinement_count:
+            return k
+        total, k = nxt, k + 1
+
+
 def refine_tiles(uniforms: FrameUniforms, cfg: StaticTerrainConfig) -> RefinementOutput:
     """Run the full refinement: seed roots, iterate subdivision, compact.
 
@@ -71,22 +86,117 @@ def refine_tiles(uniforms: FrameUniforms, cfg: StaticTerrainConfig) -> Refinemen
     are emitted instead of dropped (the reference's trailing dispatch
     discards their children, tiling_prepass.rs:259-263; emitting parents
     keeps coverage complete).
+
+    Structure (TPU-native): levels 0..Ld run DENSELY — every tile of every
+    level is evaluated as a (side, 2^k, 2^k) grid, reachability cascades
+    by plain 2x-upsampling of parent masks, and ONE stable sort compacts
+    all emitted tiles (no per-level sorts, no dynamic slices). Levels
+    beyond Ld (deep planetary zoom) spill into the original level-sync
+    queue loop, seeded with the still-dividing frontier. The emitted tile
+    SET is identical to the pure queue algorithm by construction (same
+    predicate, same last-pass rule).
     """
     Q = cfg.queue_capacity
     F = cfg.tile_capacity
+    Ld = dense_level_cap(cfg)
+    S = cfg.side_count
 
-    lane = jnp.arange(Q, dtype=jnp.int32)
+    # ---- dense levels 0..Ld ----
+    emit_cols = []  # per level: (emit, side, lod, x, y) flat columns
+    reached = jnp.ones((S, 1, 1), jnp.bool_)
+    frontier = None  # (reached & divide) at Ld
+    for k in range(Ld + 1):
+        c = 1 << k
+        side = jnp.broadcast_to(
+            jnp.arange(S, dtype=jnp.int32)[:, None, None], (S, c, c)
+        )
+        ys = jnp.broadcast_to(
+            jnp.arange(c, dtype=jnp.int32)[None, :, None], (S, c, c)
+        )
+        xs = jnp.broadcast_to(
+            jnp.arange(c, dtype=jnp.int32)[None, None, :], (S, c, c)
+        )
+        xy = jnp.stack([xs, ys], axis=-1)
+        lod = jnp.full((S, c, c), k, jnp.int32)
+        visible = (
+            coords.tile_visible(side, lod, xy, uniforms, cfg)
+            if cfg.culling else jnp.ones((S, c, c), jnp.bool_)
+        )
+        active = reached & visible
+        divide = (
+            should_be_divided(side, lod, xy, uniforms, cfg)
+            & active & (k + 1 < cfg.refinement_count)
+        )
+        emit = active & ~divide
+        emit_cols.append((
+            emit.reshape(-1), side.reshape(-1), lod.reshape(-1),
+            xs.reshape(-1), ys.reshape(-1),
+        ))
+        if k == Ld:
+            frontier = divide
+        else:
+            reached = jnp.repeat(jnp.repeat(divide, 2, axis=1), 2, axis=2)
 
-    queue_side = jnp.where(lane < cfg.side_count, lane, 0).astype(jnp.int32)
-    queue_x = jnp.zeros((Q,), jnp.int32)
-    queue_y = jnp.zeros((Q,), jnp.int32)
-    queue_count = jnp.int32(cfg.side_count)
+    cat = lambda i: jnp.concatenate([c[i] for c in emit_cols])
+    all_emit = cat(0)
+    # stable sort: emitted tiles first, preserving level-major order (the
+    # queue algorithm's append order)
+    s_key, s_side, s_lod, s_x, s_y = jax.lax.sort(
+        ((~all_emit).astype(jnp.int32), cat(1), cat(2), cat(3), cat(4)),
+        num_keys=1, is_stable=True,
+    )
+    n_emit = jnp.sum(all_emit.astype(jnp.int32))
 
     final_side = jnp.zeros((F + Q,), jnp.int32)
     final_lod = jnp.full((F + Q,), -1, jnp.int32)
     final_x = jnp.zeros((F + Q,), jnp.int32)
     final_y = jnp.zeros((F + Q,), jnp.int32)
-    final_count = jnp.int32(0)
+    n_dense = s_side.shape[0]
+    w = min(F + Q, n_dense)
+    final_side = final_side.at[:w].set(s_side[:w])
+    final_lod = final_lod.at[:w].set(
+        jnp.where(jnp.arange(w) < n_emit, s_lod[:w], -1)
+    )
+    final_x = final_x.at[:w].set(s_x[:w])
+    final_y = final_y.at[:w].set(s_y[:w])
+    final_count = jnp.minimum(n_emit, F)
+    overflow0 = jnp.maximum(n_emit - F, 0)
+
+    # ---- spill: still-dividing frontier at Ld -> children seed the queue
+    # loop at level Ld+1 (planetary depth; empty for shallow frames) ----
+    f_flat = frontier.reshape(-1)
+    fr_key, fr_side, fr_x, fr_y = jax.lax.sort(
+        ((~f_flat).astype(jnp.int32),
+         jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[:, None, None],
+                          frontier.shape).reshape(-1),
+         jnp.broadcast_to(
+             jnp.arange(1 << Ld, dtype=jnp.int32)[None, None, :],
+             frontier.shape).reshape(-1),
+         jnp.broadcast_to(
+             jnp.arange(1 << Ld, dtype=jnp.int32)[None, :, None],
+             frontier.shape).reshape(-1)),
+        num_keys=1, is_stable=True,
+    )
+    n_front = jnp.sum(f_flat.astype(jnp.int32))
+    nf = frontier.size
+    # expand frontier parents to children (refine_tiles.wgsl:24-31)
+    child_sub = jnp.arange(4, dtype=jnp.int32)
+    take = max(1, min(Q // 4, nf))
+    c_side = jnp.repeat(fr_side[:take], 4)
+    c_x = ((fr_x[:take, None] << 1) + (child_sub & 1)[None, :]).reshape(-1)
+    c_y = ((fr_y[:take, None] << 1) + (child_sub >> 1)[None, :]).reshape(-1)
+    pad_q = Q - c_side.shape[0]
+    if pad_q > 0:
+        zp = jnp.zeros((pad_q,), jnp.int32)
+        c_side = jnp.concatenate([c_side, zp])
+        c_x = jnp.concatenate([c_x, zp])
+        c_y = jnp.concatenate([c_y, zp])
+    queue_side, queue_x, queue_y = c_side[:Q], c_x[:Q], c_y[:Q]
+    queue_count = jnp.minimum(4 * n_front, Q)
+    overflow0 = overflow0 + jnp.maximum(4 * n_front - Q, 0)
+
+    lane = jnp.arange(Q, dtype=jnp.int32)
+    k0 = Ld + 1
 
     def cond(state):
         k, q_count = state[0], state[8]
@@ -144,7 +254,7 @@ def refine_tiles(uniforms: FrameUniforms, cfg: StaticTerrainConfig) -> Refinemen
                 f_count, dropped)
 
     state = (
-        jnp.int32(0),
+        jnp.int32(k0),
         queue_side,
         queue_x,
         queue_y,
@@ -154,7 +264,7 @@ def refine_tiles(uniforms: FrameUniforms, cfg: StaticTerrainConfig) -> Refinemen
         final_y,
         queue_count,
         final_count,
-        jnp.int32(0),
+        overflow0,
     )
     state = jax.lax.while_loop(cond, body, state)
     (_, _, _, _, f_side, f_lod, f_x, f_y, _, f_count, dropped) = state

@@ -348,7 +348,9 @@ class Preprocessor:
             full, np.array([c.side for c in coords]),
             jnp.asarray(nbr_idx), nbr_side, cfg.border_size, spherical,
         )
-        host = np.asarray(jax.device_get(stitched)).astype(cfg.format.dtype)
+        # cast on device before the pull: halves the D2H volume and is
+        # the attachment dtype anyway
+        host = np.asarray(jax.device_get(stitched.astype(cfg.format.dtype)))
         for i, c in enumerate(coords):
             state = self.atlas.state.tile_states[c]
             attachment.data[state.atlas_index] = host[i]

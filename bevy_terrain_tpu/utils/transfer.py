@@ -16,9 +16,12 @@ import time
 
 _D2H_FAST: bool | None = None
 
-# 256 KB probe; > 1 s for 256 KB (< 0.25 MB/s) marks the link degraded.
-_PROBE_BYTES = 1 << 18
-_THRESHOLD_S = 1.0
+# The device preprocess path must stream whole stitched lod stacks back
+# (tens-hundreds of MB); it only beats host-numpy compute when readback
+# sustains >= ~20 MB/s. Tunneled rigs measure 0.05-15 MB/s depending on
+# contention — both fail this probe.
+_PROBE_BYTES = 1 << 20
+_THRESHOLD_S = 0.05
 
 
 def d2h_is_fast() -> bool:

@@ -31,6 +31,12 @@ from bevy_terrain_tpu.math.coordinate import local_position_from_side_uv, sigmoi
 from bevy_terrain_tpu.terrain_data import TileAtlas
 
 PATH = "terrains/spherical"
+
+
+def dataclasses_replace_path(config, path):
+    import dataclasses
+
+    return dataclasses.replace(config, path=path)
 RADIUS = 6.371e6
 MIN_HEIGHT, MAX_HEIGHT = 0.0, 9000.0
 LOD_COUNT = 4
@@ -67,11 +73,27 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--assets", default="assets")
     ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument(
+        "--ellipsoid", action="store_true",
+        help="WGS84-like ellipsoid (reference examples/spherical.rs:6-11) "
+        "instead of a sphere; the approach descends to 3 km so deep "
+        "geometry lods + the Taylor relative path are exercised",
+    )
+    ap.add_argument("--lods", type=int, default=None,
+                    help="lod_count override (ellipsoid default 16)")
     args = ap.parse_args()
 
+    if args.ellipsoid:
+        model = TerrainModel.ellipsoid(
+            np.zeros(3), 6_378_137.0, 6_356_752.3, MIN_HEIGHT, MAX_HEIGHT
+        )
+        lod_count = args.lods or 16
+    else:
+        model = TerrainModel.sphere(np.zeros(3), RADIUS, MIN_HEIGHT, MAX_HEIGHT)
+        lod_count = args.lods or LOD_COUNT
     config = TerrainConfig(
-        lod_count=LOD_COUNT,
-        model=TerrainModel.sphere(np.zeros(3), RADIUS, MIN_HEIGHT, MAX_HEIGHT),
+        lod_count=lod_count,
+        model=model,
         atlas_size=2048,
         path=PATH,
         assets_root=args.assets,
@@ -82,7 +104,9 @@ def main() -> None:
         )
     )
 
-    manifest = Path(args.assets) / PATH / "config.tc"
+    PATH_ACTUAL = PATH + ("_ellipsoid" if args.ellipsoid else "")
+    config = dataclasses_replace_path(config, PATH_ACTUAL)
+    manifest = Path(args.assets) / PATH_ACTUAL / "config.tc"
     if not manifest.exists():
         src_dir = Path(args.assets) / "source"
         src_dir.mkdir(parents=True, exist_ok=True)
@@ -90,7 +114,10 @@ def main() -> None:
         paths = synthesize_faces(src_dir)
         atlas = TileAtlas(config)
         Preprocessor(atlas).clear_attachment(0).preprocess_spherical(
-            SphericalDataset(attachment_index=0, paths=paths, lod_range=range(0, LOD_COUNT))
+            SphericalDataset(
+                attachment_index=0, paths=paths,
+                lod_range=range(0, min(lod_count, LOD_COUNT)),
+            )
         ).run()
 
     terrain = Terrain(config)
@@ -98,7 +125,8 @@ def main() -> None:
     terrain.set_shading(lighting=True)
 
     cam = ApproachCamera(
-        target=np.zeros(3), start_distance=3.0 * RADIUS, end_distance=RADIUS + 20000.0
+        target=np.zeros(3), start_distance=3.0 * RADIUS,
+        end_distance=RADIUS + (3_000.0 if args.ellipsoid else 20_000.0),
     )
     times = []
     for i, view in enumerate(cam.path(args.frames)):

@@ -441,3 +441,79 @@ class TestTileTreeLodMode:
         err = np.abs(pos[:, 1] - smooth_field(u, v) * 100.0)
         assert np.median(err) < 3.0, float(np.median(err))
         terrain.remove_view("walk")
+
+
+class TestVertexDensityMipBound:
+    """The aniso question, measured (VERDICT item 10).
+
+    The reference samples attachments with anisotropy-16 textureSampleGrad
+    in the FRAGMENT stage (terrain_bind_group.rs:124, attachments.wgsl:
+    12-24) — a screen-space resampling concern. This build has no screen
+    derivatives at the vertex stage; instead patch_geometry picks the mip
+    whose texel density matches the vertex half-grid (2x vertex density).
+    The claim retired with SAMPLE_GRAD: that choice bounds the height
+    error by the field's energy ABOVE the half-grid Nyquist (detail the
+    mesh cannot represent anyway), while sub-Nyquist content is exact to
+    interpolation error. Here both halves are measured.
+    """
+
+    def _frame_heights(self, tmp_path, field):
+        att = AttachmentConfig(
+            name="height", texture_size=512, border_size=2, mip_level_count=4,
+            format=AttachmentFormat.R16,
+        )
+        generate_planar_dataset(
+            "terrains/aniso", 1, att, height_fn=field, root=str(tmp_path)
+        )
+        config = TerrainConfig(
+            lod_count=1,
+            model=TerrainModel.planar(np.zeros(3), 1000.0, 0.0, 100.0),
+            atlas_size=8, path="terrains/aniso", attachments=(att,),
+            assets_root=str(tmp_path),
+        )
+        terrain = Terrain(config)
+        terrain.add_view(
+            "cam", TerrainViewConfig(tile_capacity=16), queue_capacity=64
+        )
+        view = np.array([0.0, 400.0, 0.0])
+        for _ in range(30):
+            out = terrain.update({"cam": view})
+            if not terrain.atlas.state.to_load and not any(
+                a.loading for a in terrain.atlas.attachments
+            ):
+                break
+            time.sleep(0.01)
+        out = terrain.update({"cam": view})["cam"]
+        mask = np.asarray(out.mesh.tile_mask)
+        pos = np.asarray(out.mesh.positions)[mask]
+        return pos[..., 0], pos[..., 2], pos[..., 1]
+
+    def test_error_bounded_by_super_nyquist_energy(self, tmp_path):
+        # sub-Nyquist smooth content + a ripple at ~3-texel wavelength
+        # (far above the half-grid Nyquist at every streamed lod here)
+        A_HF = 0.05  # 5 m of 100 m range
+
+        def rough(u, v):
+            return (
+                0.5
+                + 0.3 * np.sin(2 * np.pi * u) * np.cos(2 * np.pi * v)
+                + A_HF * np.sin(2 * np.pi * 170 * u) * np.cos(2 * np.pi * 170 * v)
+            )
+
+        def smooth(u, v):
+            return 0.5 + 0.3 * np.sin(2 * np.pi * u) * np.cos(2 * np.pi * v)
+
+        x, z, h = self._frame_heights(tmp_path / "r", rough)
+        u, v = x / 1000.0 + 0.5, z / 1000.0 + 0.5
+        # 1) total error vs the full analytic field is bounded by the
+        # super-Nyquist amplitude (the mip chain averages the ripple out;
+        # the mesh could never carry it)
+        err_full = np.abs(h - rough(u, v) * 100.0)
+        assert np.percentile(err_full, 95) < (A_HF * 100.0) * 1.4, float(
+            np.percentile(err_full, 95)
+        )
+        # 2) against the band-limited (representable) field the error is
+        # interpolation-level — the ripple does NOT alias into the mesh
+        err_band = np.abs(h - smooth(u, v) * 100.0)
+        assert np.median(err_band) < 1.0, float(np.median(err_band))
+        assert np.percentile(err_band, 99) < 3.0, float(np.percentile(err_band, 99))

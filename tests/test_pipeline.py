@@ -213,3 +213,110 @@ class TestShardedAtlas:
         got = np.asarray(fetch_patches_sharded(mesh, sharded, jnp.asarray(ids)))
         want = np.asarray(fetch_patches_xla(jnp.asarray(blocks), jnp.asarray(ids)))
         np.testing.assert_array_equal(got, want)
+
+
+class TestEllipsoidDepth:
+    def test_ellipsoid_streams_to_depth_with_taylor(self, tmp_path):
+        """VERDICT item 8: the ellipsoidal branch end-to-end — stream a
+        WGS84-scale ellipsoid on an approach to 3 km altitude, geometry
+        refining far beyond the data lods, Taylor relative path active —
+        and validate the surface against the f64 model (the spherical
+        test's radial check, generalized through the ellipsoid projector).
+        """
+        from bevy_terrain_tpu import Preprocessor, SphericalDataset
+        from bevy_terrain_tpu.formats.tiff import array_to_source
+        from bevy_terrain_tpu.math.coordinate import local_position_from_side_uv
+        from bevy_terrain_tpu.models import height_attachment
+        from bevy_terrain_tpu.terrain_data import TileAtlas
+
+        def planet(p):
+            return np.clip(
+                0.5 + 0.3 * np.sin(3 * p[..., 0]) * np.cos(2 * p[..., 2]), 0.05, 1.0
+            )
+
+        paths = []
+        n = 128
+        uv = (np.arange(n) + 0.5) / n
+        uu, vv = np.meshgrid(uv, uv, indexing="xy")
+        grid_uv = np.stack([uu, vv], axis=-1)
+        for side in range(6):
+            p = local_position_from_side_uv(side, grid_uv)
+            path = tmp_path / f"f{side}.png"
+            array_to_source(planet(p), path)
+            paths.append(str(path))
+
+        A, B = 6_378_137.0, 6_356_752.3  # WGS84-like axes
+        MAXH = 9000.0
+        config = TerrainConfig(
+            lod_count=13,
+            model=TerrainModel.ellipsoid(np.zeros(3), A, B, 0.0, MAXH),
+            atlas_size=512,
+            path="ell",
+            assets_root=str(tmp_path / "assets"),
+            attachments=(height_attachment(texture_size=128, mips=3),),
+        )
+        atlas = TileAtlas(config)
+        Preprocessor(atlas).clear_attachment(0).preprocess_spherical(
+            SphericalDataset(attachment_index=0, paths=paths, lod_range=range(0, 3))
+        ).run(verbose=False)
+
+        terrain = Terrain(config)
+        # morph_distance 4 keeps the 3 km frame's tile demand (~5k) inside
+        # capacity while still refining past lod 12 (threshold 4 * scale *
+        # 1.1 / 2^13 ~ 3.4 km); overflow is asserted zero below
+        terrain.add_view(
+            "cam",
+            TerrainViewConfig(tile_capacity=16384, morph_distance=4.0,
+                              blend_distance=1.5),
+            queue_capacity=32768,
+        )
+        assert terrain._static_cfgs["cam"].high_precision  # Taylor path on
+        model = config.model
+
+        # approach: descend over a fixed surface point to 3 km altitude
+        anchor = np.array([0.35, 0.2, 0.91])
+        anchor /= np.linalg.norm(anchor)
+        surface = model.position_local_to_world(anchor, 0.0)
+        up = surface / np.linalg.norm(surface)
+        for alt in (2e6, 3e5, 6e4, 1.2e4, 3e3, 3e3, 3e3):
+            view = surface + up * alt
+            for _ in range(25):
+                out = terrain.update({"cam": view})
+                if not terrain.atlas.state.to_load and not any(
+                    a.loading for a in terrain.atlas.attachments
+                ):
+                    break
+                time.sleep(0.01)
+        out = terrain.update({"cam": view})["cam"]
+
+        assert out.overflow == 0, out.overflow
+        n_t = out.tile_count
+        lods = np.asarray(out.tiles.tile_lod[:n_t])
+        # deep zoom: geometry refined far beyond the 3 data lods
+        assert lods.max() >= 12, int(lods.max())
+
+        # validate the NEAR-VIEW surface (where the Taylor path is active):
+        # project each vertex onto the f64 ellipsoid; its offset along the
+        # normal must equal the analytic height field
+        mask = np.asarray(out.mesh.tile_mask)
+        pos = np.asarray(out.mesh.positions)[mask].reshape(-1, 3)
+        d = np.linalg.norm(pos - view, axis=-1)
+        near = pos[d < 3.0e4]
+        assert len(near) > 200
+        from bevy_terrain_tpu.math.ellipsoid import project_point_ellipsoid
+
+        errs = []
+        for v in near[:: max(1, len(near) // 256)]:
+            s = project_point_ellipsoid(np.array([A, A, B]), v)
+            normal = v / np.array([A**2, A**2, B**2])  # ellipsoid gradient
+            normal = (s / np.array([A**2, A**2, B**2]))
+            normal /= np.linalg.norm(normal)
+            h = float(np.dot(v - s, normal))
+            unit = s / np.linalg.norm(s)
+            expect = planet(unit[None])[0] * MAXH
+            errs.append(abs(h - expect))
+        errs = np.asarray(errs)
+        # tolerance: f32 world quantization at 6.4e6 m (~0.5 m) + the
+        # band-limited lod-2 data sampled by deep geometry (smooth field)
+        assert np.median(errs) < 40.0, float(np.median(errs))
+        assert np.percentile(errs, 90) < 150.0, float(np.percentile(errs, 90))
