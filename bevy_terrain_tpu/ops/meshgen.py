@@ -236,6 +236,7 @@ def generate_mesh_fused(
     cfg: StaticTerrainConfig,
     plan,
     max_value: float,
+    interpret: bool = False,
 ):
     """Single fused Pallas kernel for the whole planar mesh stage.
 
@@ -263,25 +264,17 @@ def generate_mesh_fused(
         return jnp.concatenate([x, jnp.zeros((Fp - F,), x.dtype)]) if Fp > F else x
 
     live = (jnp.arange(Fp, dtype=jnp.int32) < tiles.tile_count).astype(jnp.float32)
-    params = jnp.stack(
+    tile_params = jnp.stack(
         [
+            live,
             pad(jnp.maximum(tiles.tile_lod[:F], 0).astype(jnp.float32)),
             pad(tiles.tile_xy[:F, 0].astype(jnp.float32)),
             pad(tiles.tile_xy[:F, 1].astype(jnp.float32)),
-            batch.geom[:, 3],  # valid (atlas data present, dead lanes 0)
-            live,
-            jnp.zeros((Fp,), jnp.float32),
-            jnp.zeros((Fp,), jnp.float32),
-            jnp.zeros((Fp,), jnp.float32),
         ],
-        axis=0,
-    )  # (8, Fp)
-    pv = jnp.repeat(
-        params.reshape(8, steps, pk.TILES_PER_STEP), pk.GV, axis=2
-    )  # (8, steps, LANES)
-    pv = jnp.transpose(pv, (1, 0, 2))
+        axis=-1,
+    )  # (Fp, 4) [live, lodf, xf, yf]
     fs = pk.pack_mesh_scalars(uniforms, cfg, max_value)
-    raw = pk.mesh_fused(block_array, batch, pv, fs)
+    raw = pk.mesh_fused(block_array, batch, tile_params, fs, interpret=interpret)
     return raw, tiles
 
 

@@ -1,5 +1,15 @@
 """Hand-written Pallas TPU kernels for the frame hot path.
 
+:func:`mesh_fused` is the headline kernel: the ENTIRE planar vertex stage
+(vertex.wgsl:30-98 + the attachment height chain) in one pass — streaming
+quad-cache patch fetch, half-grid tent resample on the MXU, 1-2-1
+smoothing for the data-lod blend, CDLOD morph, 3x3-window vertex
+interpolation, per-vertex blend crossfade, and world positions — with the
+half-grid living only in VMEM ((.., 17)/(.., 33) minor-dim tensors are
+lane-padded ~4-7x in HBM, which taxed every staged-XLA variant). Per-tile
+scalars ride one (8, tiles) operand per step and are lane-expanded by 0/1
+expander dots on the MXU.
+
 :func:`fetch_resample` fuses the per-tile patch fetch with the half-grid
 tent resample (see ops/patch_sampling.py for the algorithm): each grid step
 DMAs the four atlas blocks of several tiles' windows straight into VMEM
@@ -314,7 +324,7 @@ def pack_mesh_scalars(uniforms, cfg, max_value: float) -> jnp.ndarray:
 
 
 def _mesh_kernel(uq_ref, slots_ref, rlo_ref, rhi_ref, nuq_ref, fs_ref,
-                 geom_ref, gr_ref, pv_ref, hbm_ref, out_ref, cache, S, sem, cnt):
+                 gr8_ref, hbm_ref, out_ref, cache, S, sem, cnt):
     s = pl.program_id(0)
     T = TILES_PER_STEP
 
@@ -350,19 +360,32 @@ def _mesh_kernel(uq_ref, slots_ref, rlo_ref, rhi_ref, nuq_ref, fs_ref,
         wait_range(0, allowed)
         cnt[1] = allowed
 
+    # ---- per-tile parameters expanded on the MXU ----
+    # gr8 rows [p0x, p0y, dp, live, lodf, xf, yf, valid] are per TILE
+    # (8, 64); lane-expanding them to the patch (x64) and vertex (x17)
+    # layouts via 0/1 expander dots replaces two big host-side jnp.repeat
+    # operands (20 MB/frame of traffic)
+    PL = T * P
+    g8 = gr8_ref[0]  # (8, T)
+    tid_P = jax.lax.broadcasted_iota(jnp.int32, (T, PL), 1) // P
+    EP = (tid_P == jax.lax.broadcasted_iota(jnp.int32, (T, PL), 0)).astype(jnp.float32)
+    gP = jnp.dot(g8, EP, preferred_element_type=jnp.float32)  # (8, PL)
+    tid_V = jax.lax.broadcasted_iota(jnp.int32, (T, LANES), 1) // GV
+    EV = (tid_V == jax.lax.broadcasted_iota(jnp.int32, (T, LANES), 0)).astype(jnp.float32)
+    gV = jnp.dot(g8, EV, preferred_element_type=jnp.float32)  # (8, LANES)
+
     # ---- phase A: per-tile resample into the step slab ----
     # y tents: 33 rows in evens-first order (pos 2k / 2k-33); x tents: 51
     # rows, a-major (pos idx_a(j) = 0 if j == 0 else 2j-2+a) so the three
     # window slabs come out as contiguous 17-column blocks. Tents build
-    # step-batched on (rows, T*64) from the 64x-repeated geometry operand
-    # (one big VPU pass instead of 64 small ones: -100 us measured).
-    PL = T * P
+    # step-batched on (rows, T*64) (one big VPU pass instead of 64 small
+    # ones: -100 us measured).
     rl = (jax.lax.broadcasted_iota(jnp.int32, (K, PL), 1) % P).astype(jnp.float32)
     ky = jax.lax.broadcasted_iota(jnp.int32, (K, PL), 0)
     pos_y = jnp.where(ky < GV, 2 * ky, 2 * ky - K).astype(jnp.float32)
-    p0x_l = gr_ref[0, 0:1, :]  # (1, PL)
-    p0y_l = gr_ref[0, 1:2, :]
-    dp_l = gr_ref[0, 2:3, :]
+    p0x_l = gP[0:1, :]  # (1, PL)
+    p0y_l = gP[1:2, :]
+    dp_l = gP[2:3, :]
     wy_all = jnp.maximum(
         0.0, 1.0 - jnp.abs(jnp.clip(p0y_l + pos_y * dp_l, 0.0, P - 1.0) - rl)
     )
@@ -414,11 +437,11 @@ def _mesh_kernel(uq_ref, slots_ref, rlo_ref, rhi_ref, nuq_ref, fs_ref,
     sub = jax.lax.broadcasted_iota(jnp.int32, (GV, LANES), 0)
 
     fs = fs_ref
-    lodf = pv_ref[0, 0]
-    xf = pv_ref[0, 1]
-    yf = pv_ref[0, 2]
-    valid = pv_ref[0, 3]  # atlas data present: zeroes heights (flat ground)
-    live = pv_ref[0, 4]  # tile exists: zeroes every output lane
+    lodf = gV[4]
+    xf = gV[5]
+    yf = gV[6]
+    valid = gV[7]  # atlas data present: zeroes heights (flat ground)
+    live = gV[3]  # tile exists: zeroes every output lane
 
     # --- smoothed slabs (the coarser data lod): value-space 1-2-1 with
     # duplicated boundaries, on the (a, evens-first-y) structure ---
@@ -532,15 +555,15 @@ def _mesh_kernel(uq_ref, slots_ref, rlo_ref, rhi_ref, nuq_ref, fs_ref,
     out_ref[0, 5 * GV:6 * GV] = mv * live
 
 
-@jax.jit
-def mesh_fused(block_array, batch, pv, fs):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mesh_fused(block_array, batch, tile_params, fs, interpret: bool = False):
     """Fused planar frame mesh: fetch + resample + morph + interpolate.
 
     Args:
       block_array: (N, 32, 128) int32 quad blocks (HBM-resident).
       batch: patch_sampling.PatchBatch (quad-sorted schedule).
-      pv: (steps, 8, LANES) f32 per-vertex-lane tile params, rows
-          [lodf, xf, yf, valid, live, 0, 0, 0] repeated 17x per tile.
+      tile_params: (Fp, 4) f32 per-tile [live, lodf, xf, yf] in the sorted
+        order (meshgen.generate_mesh_fused builds it).
       fs: (32,) f32 frame scalars (pack_mesh_scalars).
 
     Returns (steps, 102, LANES) f32: rows = [height, pos_xyz, morphed uv]
@@ -548,24 +571,21 @@ def mesh_fused(block_array, batch, pv, fs):
     """
     Fp = batch.slots.shape[0]
     steps = Fp // TILES_PER_STEP
-    # per-patch-texel geometry rows [p0x, p0y, dp] repeated 64x per tile
-    # (the batched tent build's per-lane operand)
-    g3 = jnp.stack([batch.geom[:, 0], batch.geom[:, 1], batch.geom[:, 2]])
-    gr = jnp.transpose(
-        jnp.repeat(g3.reshape(3, steps, TILES_PER_STEP), P, axis=2), (1, 0, 2)
-    )
-    gr = jnp.concatenate(
-        [gr, jnp.zeros((steps, 5, TILES_PER_STEP * P), jnp.float32)], axis=1
+    # ONE tiny per-tile operand (8, T)/step — the kernel lane-expands it
+    # on the MXU (see _mesh_kernel's expander dots)
+    gr8 = jnp.transpose(
+        jnp.stack([
+            batch.geom[:, 0], batch.geom[:, 1], batch.geom[:, 2],
+            tile_params[:, 0], tile_params[:, 1], tile_params[:, 2],
+            tile_params[:, 3], batch.geom[:, 3],
+        ]).reshape(8, steps, TILES_PER_STEP),
+        (1, 0, 2),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(steps,),
         in_specs=[
-            pl.BlockSpec((1, TILES_PER_STEP, 8), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, TILES_PER_STEP * P), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, LANES), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, 8, TILES_PER_STEP), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -584,8 +604,9 @@ def mesh_fused(block_array, batch, pv, fs):
         _mesh_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((steps, OUT_ROWS, LANES), jnp.float32),
+        interpret=interpret,
     )(batch.uq, batch.slots, batch.rank_lo, batch.rank_hi, batch.n_unique, fs,
-      batch.geom.reshape(steps, TILES_PER_STEP, 8), gr, pv, block_array)
+      gr8, block_array)
 
 
 def _kernel(ids_ref, geom_ref, *refs):

@@ -7,14 +7,21 @@ of src/render/tiling_prepass.rs:204-271). All tiles in the queue at pass k
 have lod == k (roots seed at lod 0, each pass emits lod k+1 children), so
 the algorithm is level-synchronous by construction.
 
-TPU version: dense per-level lanes compacted by a **stable sort partition**
-(emitted tiles first, then subdividing parents, then dead lanes) — TPU has
-no efficient scatter (XLA lowers it to a serial per-lane loop, measured
-~500us per level at 16k lanes), but ``lax.sort`` is a vectorized sorting
-network (~18us at 16k lanes). Finished tiles append to the final list with
-a contiguous ``dynamic_update_slice`` whose garbage tail is overwritten by
-the next level's append; children come from a contiguous ``dynamic_slice``
-of the partition. No atomics, no scatters, no gathers.
+TPU version (two-stage, no atomics/scatters/gathers):
+
+1. **Dense levels 0..Ld** — every tile of every shallow level is ONE
+   (side, 2^k, 2^k) mask grid; reachability cascades by 2x mask
+   upsampling (a tile is considered iff all ancestors divided), frustum
+   culling and the subdivision predicate are pure elementwise math, and a
+   single stable 3-way sort (emit | frontier | dead) compacts ALL levels'
+   emissions at once. No per-level synchronization whatsoever.
+2. **Queue spill beyond Ld** (deep planetary zoom) — the still-dividing
+   frontier's children seed the original level-synchronous loop: per
+   level, a stable sort partition (emitted | divided | dead; TPU has no
+   efficient scatter — XLA lowers it to a serial per-lane loop, ~500us
+   per level at 16k lanes — while ``lax.sort`` is a vectorized sorting
+   network, ~18us), appends via contiguous ``dynamic_update_slice``, and
+   4x child expansion from a contiguous ``dynamic_slice``.
 """
 
 from __future__ import annotations
@@ -61,12 +68,14 @@ def should_be_divided(side, lod, xy, uniforms: FrameUniforms, cfg: StaticTerrain
     return view_distance < uniforms.subdivision_distance / coords.tile_count(lod)
 
 
-def dense_level_cap(cfg: StaticTerrainConfig, budget: int = 32768) -> int:
+def dense_level_cap(cfg: StaticTerrainConfig, budget: int = 8192) -> int:
     """Deepest lod evaluated DENSELY (all side_count * 4^k tiles at once).
 
     Dense levels replace the queue's per-level sort-compactions with pure
     elementwise masks (see refine_tiles); deeper levels spill into the
-    queue loop. The cap keeps the total dense lane count under ``budget``.
+    queue loop. The cap keeps the total dense lane count under ``budget``
+    (measured on the culled 8k^2 bench frame: budget 8192 -> 249us refine
+    vs 32768 -> 276us — the bigger dense sweep loses to a short spill).
     """
     total, k = 0, -1
     while True:
@@ -128,24 +137,29 @@ def refine_tiles(uniforms: FrameUniforms, cfg: StaticTerrainConfig) -> Refinemen
             & active & (k + 1 < cfg.refinement_count)
         )
         emit = active & ~divide
-        emit_cols.append((
-            emit.reshape(-1), side.reshape(-1), lod.reshape(-1),
-            xs.reshape(-1), ys.reshape(-1),
-        ))
+        # 3-way category so ONE sort yields both the emitted prefix and
+        # (for the deepest dense level) the still-dividing frontier block:
+        # 0 = emit, 1 = frontier parent, 2 = dead
         if k == Ld:
+            category = jnp.where(emit, 0, jnp.where(divide, 1, 2))
             frontier = divide
         else:
+            category = jnp.where(emit, 0, 2)
             reached = jnp.repeat(jnp.repeat(divide, 2, axis=1), 2, axis=2)
+        emit_cols.append((
+            category.reshape(-1).astype(jnp.int32), side.reshape(-1),
+            lod.reshape(-1), xs.reshape(-1), ys.reshape(-1),
+        ))
 
     cat = lambda i: jnp.concatenate([c[i] for c in emit_cols])
-    all_emit = cat(0)
-    # stable sort: emitted tiles first, preserving level-major order (the
-    # queue algorithm's append order)
+    all_cat = cat(0)
+    # stable sort: emitted tiles first (level-major — the queue algorithm's
+    # append order), then the frontier parents, then dead lanes
     s_key, s_side, s_lod, s_x, s_y = jax.lax.sort(
-        ((~all_emit).astype(jnp.int32), cat(1), cat(2), cat(3), cat(4)),
+        (all_cat, cat(1), cat(2), cat(3), cat(4)),
         num_keys=1, is_stable=True,
     )
-    n_emit = jnp.sum(all_emit.astype(jnp.int32))
+    n_emit = jnp.sum((all_cat == 0).astype(jnp.int32))
 
     final_side = jnp.zeros((F + Q,), jnp.int32)
     final_lod = jnp.full((F + Q,), -1, jnp.int32)
@@ -163,28 +177,20 @@ def refine_tiles(uniforms: FrameUniforms, cfg: StaticTerrainConfig) -> Refinemen
     overflow0 = jnp.maximum(n_emit - F, 0)
 
     # ---- spill: still-dividing frontier at Ld -> children seed the queue
-    # loop at level Ld+1 (planetary depth; empty for shallow frames) ----
-    f_flat = frontier.reshape(-1)
-    fr_key, fr_side, fr_x, fr_y = jax.lax.sort(
-        ((~f_flat).astype(jnp.int32),
-         jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[:, None, None],
-                          frontier.shape).reshape(-1),
-         jnp.broadcast_to(
-             jnp.arange(1 << Ld, dtype=jnp.int32)[None, None, :],
-             frontier.shape).reshape(-1),
-         jnp.broadcast_to(
-             jnp.arange(1 << Ld, dtype=jnp.int32)[None, :, None],
-             frontier.shape).reshape(-1)),
-        num_keys=1, is_stable=True,
-    )
-    n_front = jnp.sum(f_flat.astype(jnp.int32))
-    nf = frontier.size
+    # loop at level Ld+1 (planetary depth; empty for shallow frames). The
+    # frontier parents are the category-1 block of the SAME sorted columns,
+    # at dynamic offset n_emit ----
+    n_front = jnp.sum(frontier.astype(jnp.int32))
+    take = max(1, Q // 4)
+    padded = lambda a: jnp.concatenate([a, jnp.zeros((take,), jnp.int32)])
+    fr_side = jax.lax.dynamic_slice(padded(s_side), (n_emit,), (take,))
+    fr_x = jax.lax.dynamic_slice(padded(s_x), (n_emit,), (take,))
+    fr_y = jax.lax.dynamic_slice(padded(s_y), (n_emit,), (take,))
     # expand frontier parents to children (refine_tiles.wgsl:24-31)
     child_sub = jnp.arange(4, dtype=jnp.int32)
-    take = max(1, min(Q // 4, nf))
-    c_side = jnp.repeat(fr_side[:take], 4)
-    c_x = ((fr_x[:take, None] << 1) + (child_sub & 1)[None, :]).reshape(-1)
-    c_y = ((fr_y[:take, None] << 1) + (child_sub >> 1)[None, :]).reshape(-1)
+    c_side = jnp.repeat(fr_side, 4)
+    c_x = ((fr_x[:, None] << 1) + (child_sub & 1)[None, :]).reshape(-1)
+    c_y = ((fr_y[:, None] << 1) + (child_sub >> 1)[None, :]).reshape(-1)
     pad_q = Q - c_side.shape[0]
     if pad_q > 0:
         zp = jnp.zeros((pad_q,), jnp.int32)

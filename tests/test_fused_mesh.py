@@ -1,0 +1,97 @@
+"""Fused Pallas mesh kernel vs the staged XLA path (interpret mode).
+
+The fused kernel (ops/pallas_kernels.mesh_fused) is the TPU headline
+path; here it runs under the Pallas interpreter on CPU and must match
+generate_mesh_grid with per-vertex blend (the same math it fuses) —
+heights/positions/uvs per tile. Interpreter dots are exact f32, so the
+comparison is tight (the TPU build additionally carries documented
+bf16-pass MXU quantization).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bevy_terrain_tpu.config import TerrainViewConfig
+from bevy_terrain_tpu.math import TerrainModel, TerrainModelApproximation
+from bevy_terrain_tpu.ops import meshgen, patch_sampling, refinement
+from bevy_terrain_tpu.ops import pallas_kernels as pk
+from bevy_terrain_tpu.ops import tile_tree as tto
+from bevy_terrain_tpu.ops.params import StaticTerrainConfig, make_frame_uniforms
+
+
+@pytest.fixture(scope="module")
+def small_frame():
+    TEXTURE_SIZE, BORDER, LODS, SIDE = 512, 2, 3, 1000.0
+    model = TerrainModel.planar(np.zeros(3), SIDE, 0.0, 100.0)
+    vc = TerrainViewConfig(tile_capacity=64)
+    view = np.array([30.0, 60.0, -20.0])
+    origins, vt_int, vt_frac = tto.compute_view_anchors(model, view, LODS, 8)
+    approx = TerrainModelApproximation.compute(model, view, vc.origin_lod, 50.0)
+    rng = np.random.default_rng(1)
+    entries = np.zeros((1, LODS, 8, 8, 2), np.int32)
+    entries[..., 0] = rng.integers(0, 16, (1, LODS, 8, 8))
+    entries[..., 1] = np.arange(LODS)[None, :, None, None]
+    uniforms = make_frame_uniforms(
+        model, view, approx, origins, entries, vt_int, vt_frac, vc
+    )
+    plan = patch_sampling.make_patch_plan(TEXTURE_SIZE, 4, BORDER)
+    blocks = jnp.asarray(
+        rng.integers(0, 65535, (16 * plan.total_blocks_per_slot, 32, 128)).astype(
+            np.int32
+        )
+    )
+    return model, vc, uniforms, plan, blocks
+
+
+def _cfg(vc, **kw):
+    return StaticTerrainConfig(
+        spherical=False, side_count=1, lod_count=3, tree_size=vc.tree_size,
+        grid_size=16, refinement_count=8, queue_capacity=256,
+        tile_capacity=vc.tile_capacity, origin_lod=vc.origin_lod, **kw,
+    )
+
+
+class TestFusedKernelMatchesStagedPath:
+    def test_heights_positions_uvs(self, small_frame):
+        model, vc, uniforms, plan, blocks = small_frame
+        cfg_ref = _cfg(vc, blend_per_vertex=True)
+        cfg_fused = _cfg(vc)
+
+        tiles0 = refinement.refine_tiles(uniforms, cfg_ref)
+        assert int(tiles0.tile_count) > 0
+        mesh_ref, tiles_ref = meshgen.generate_mesh_grid(
+            tiles0, blocks, uniforms, cfg_ref, plan, 65535.0
+        )
+        raw, tiles_f = meshgen.generate_mesh_fused(
+            refinement.refine_tiles(uniforms, cfg_fused), blocks, uniforms,
+            cfg_fused, plan, 65535.0, interpret=True,
+        )
+        mesh_f = meshgen.fused_to_grid(raw, tiles_f, cfg_fused)
+
+        n = int(tiles_ref.tile_count)
+        assert int(tiles_f.tile_count) == n
+
+        def rows(t):
+            return {
+                (int(l), int(x), int(y)): i
+                for i, (l, (x, y)) in enumerate(zip(
+                    np.asarray(t.tile_lod[:n]), np.asarray(t.tile_xy[:n])
+                ))
+            }
+
+        ra, rb = rows(tiles_f), rows(tiles_ref)
+        assert set(ra) == set(rb)
+        hf = np.asarray(mesh_f.heights)
+        hr = np.asarray(mesh_ref.heights)
+        pf = np.asarray(mesh_f.positions)
+        pr = np.asarray(mesh_ref.positions)
+        uf = np.asarray(mesh_f.uvs)
+        ur = np.asarray(mesh_ref.uvs)
+        for key, i in ra.items():
+            j = rb[key]
+            np.testing.assert_allclose(hf[i], hr[j], atol=2e-2, err_msg=str(key))
+            np.testing.assert_allclose(pf[i], pr[j], atol=2e-2, err_msg=str(key))
+            np.testing.assert_allclose(uf[i], ur[j], atol=1e-6, err_msg=str(key))
