@@ -82,6 +82,21 @@ class TerrainModelApproximation:
         origin_xy = scaled.astype(np.int64).astype(np.int32)
         origin_uv = (scaled % 1.0).astype(np.float32)
 
+        if not model.is_spherical:
+            # planar terrains consume ONLY origin_xy/origin_uv (the
+            # subdivision coordinate, functions.wgsl:133-154); the Taylor
+            # relative-position path never runs (HIGH_PRECISION is a
+            # spherical concern here), so skip the derivative chain
+            # (~0.3 ms/frame of host numpy)
+            zero = np.zeros((6, 3), np.float32)
+            return TerrainModelApproximation(
+                origin_lod=origin_lod,
+                approximate_height=float(approximate_height),
+                origin_xy=origin_xy,
+                origin_uv=origin_uv,
+                c=zero, c_s=zero, c_t=zero, c_ss=zero, c_st=zero, c_tt=zero,
+            )
+
         s = uv[:, 0]
         t = uv[:, 1]  # (6,)
 

@@ -76,6 +76,13 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.tr_io_poll.restype = ctypes.c_int64
     lib.tr_io_poll.argtypes = [ctypes.c_void_p, i64p, i64p, ctypes.c_int64]
+    f64p = ctypes.POINTER(ctypes.c_double)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.tr_scan_requests.argtypes = [
+        ctypes.c_int32, f64p, f64p, f64p, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, f64p, i64p, u8p, i64p, i64p, i32p, i32p,
+    ]
     _lib = lib
     return lib
 
@@ -90,6 +97,41 @@ def _i64p(a):
 
 def _i32p(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _f64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def scan_requests(kind: int, m: np.ndarray, inv_m3: np.ndarray,
+                  view: np.ndarray, approx_height: float, load_distance: float,
+                  origins: np.ndarray, view_int: np.ndarray,
+                  view_frac: np.ndarray, tile_xy: np.ndarray,
+                  requested: np.ndarray):
+    """Native per-frame request scan (terrain_runtime.cpp tr_scan_requests).
+
+    Mutates ``tile_xy`` (S,L,T,T,2 i64, C-contiguous) and ``requested``
+    (S,L,T,T u8) in place; returns (released_keys, requested_keys) packed
+    int64 arrays. Semantics identical to the numpy scan — fuzz-tested in
+    test_native.py.
+    """
+    lib = _load()
+    assert lib is not None
+    S, L, T = tile_xy.shape[0], tile_xy.shape[1], tile_xy.shape[2]
+    cap = S * L * T * T
+    released = np.empty(cap, np.int64)
+    requested_keys = np.empty(cap, np.int64)
+    n_rel = np.zeros(1, np.int32)
+    n_req = np.zeros(1, np.int32)
+    lib.tr_scan_requests(
+        kind, _f64p(m), _f64p(inv_m3), _f64p(view),
+        float(approx_height), float(load_distance),
+        S, L, T,
+        _i32p(origins), _i32p(view_int), _f64p(view_frac),
+        _i64p(tile_xy), requested.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _i64p(released), _i64p(requested_keys), _i32p(n_rel), _i32p(n_req),
+    )
+    return released[: n_rel[0]], requested_keys[: n_req[0]]
 
 
 class NativeResidency:

@@ -15,6 +15,7 @@
 // Build: make -C bevy_terrain_tpu/native
 
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -263,8 +264,165 @@ struct IoPool {
 };
 
 }  // namespace
+namespace {
+
+// ---------------------------------------------------------------------------
+// Per-frame request scan (the reference's TileTree::update CPU hot loop,
+// tile_tree.rs:268-333). The vectorized-numpy twin costs ~0.5-1 ms/frame in
+// interpreter overhead at 320-2000 slots; this runs the same f64 math in a
+// plain loop (~10 us). Cube-sphere math ported from math/coordinate.py
+// (C_SQR sigmoid inverse + SIDE_LOCAL_MATRICES, coordinate.rs:110-124).
+// ---------------------------------------------------------------------------
+
+constexpr double kCSqr = 0.87 * 0.87;
+
+// cube = SIDE_LOCAL_MATRICES[side] @ [p.x, p.y, 1]
+constexpr double kSideMats[6][3][3] = {
+    {{0, 0, -1}, {0, -1, 0}, {1, 0, 0}},  {{1, 0, 0}, {0, -1, 0}, {0, 0, 1}},
+    {{1, 0, 0}, {0, 0, 1}, {0, 1, 0}},    {{0, 0, 1}, {-1, 0, 0}, {0, 1, 0}},
+    {{0, 1, 0}, {-1, 0, 0}, {0, 0, -1}},  {{0, 1, 0}, {0, 0, -1}, {1, 0, 0}},
+};
+
+inline int64_t pack_key(int64_t side, int64_t lod, int64_t x, int64_t y) {
+  return (side << kSideShift) | (lod << kLodShift) | (x << kXShift) | y;
+}
+
+struct ScanParams {
+  int32_t kind;        // 0 planar, 1 spherical/ellipsoidal
+  double m[12];        // world_from_local (3x4 row-major, f64)
+  double inv_m3[9];    // inverse of the 3x3 block (row-major)
+  double view[3];
+  double approx_height;
+  double load_distance;
+};
+
+}  // namespace
+
+namespace {
+
+// world position of a slot sample coordinate + approx-height normal offset
+// (tile_tree.py::_slot_world_positions). Returns false for NaN (wrapped
+// coordinates beyond the per-lod count -> never requested).
+inline bool slot_world(const ScanParams &p, int32_t side, double u, double v,
+                       double out[3]) {
+  double local[3];
+  double ln[3];  // local normal
+  if (p.kind == 0) {
+    local[0] = u - 0.5;
+    local[1] = 0.0;
+    local[2] = v - 0.5;
+    ln[0] = 0.0;
+    ln[1] = 1.0;
+    ln[2] = 0.0;
+  } else {
+    // sigmoid_warp_inverse: w = 2uv-1; p = w / sqrt(1 + C - C w^2)
+    const double wu = 2.0 * u - 1.0, wv = 2.0 * v - 1.0;
+    const double du = 1.0 + kCSqr - kCSqr * wu * wu;
+    const double dv = 1.0 + kCSqr - kCSqr * wv * wv;
+    if (du <= 0.0 || dv <= 0.0) return false;  // numpy path yields NaN
+    const double pu = wu / std::sqrt(du), pv = wv / std::sqrt(dv);
+    const double homo[3] = {pu, pv, 1.0};
+    double norm2 = 0.0;
+    for (int i = 0; i < 3; ++i) {
+      local[i] = 0.0;
+      for (int j = 0; j < 3; ++j) local[i] += kSideMats[side][i][j] * homo[j];
+      norm2 += local[i] * local[i];
+    }
+    const double inv = 1.0 / std::sqrt(norm2);
+    for (int i = 0; i < 3; ++i) {
+      local[i] *= inv;
+      ln[i] = local[i];
+    }
+  }
+  // world = local @ m3^T + t;  n = normalize(ln @ inv_m3) (row-vector form)
+  double n[3] = {0, 0, 0};
+  double nn = 0.0;
+  for (int j = 0; j < 3; ++j) {
+    for (int i = 0; i < 3; ++i) n[j] += ln[i] * p.inv_m3[3 * i + j];
+  }
+  for (int j = 0; j < 3; ++j) nn += n[j] * n[j];
+  nn = 1.0 / std::sqrt(nn);
+  for (int j = 0; j < 3; ++j) {
+    const double w = p.m[4 * j + 0] * local[0] + p.m[4 * j + 1] * local[1] +
+                     p.m[4 * j + 2] * local[2] + p.m[4 * j + 3];
+    out[j] = w + p.approx_height * n[j] * nn;
+  }
+  return true;
+}
+
+}  // namespace
 
 extern "C" {
+
+// Scan all (side, lod, i, j) slots: wrap coordinates around the per-lod
+// origin, classify requested by closest-point distance, diff against the
+// previous state into packed-key release/request lists. Mutates tile_xy
+// (S*L*T*T*2 i64) and requested (S*L*T*T u8) in place; returns counts via
+// n_released/n_requested. Semantics identical to the numpy scan
+// (tile_tree.py::compute_requests); fuzz-tested against it.
+void tr_scan_requests(int32_t kind, const double *m, const double *inv_m3,
+                      const double *view, double approx_height,
+                      double load_distance, int32_t S, int32_t L, int32_t T,
+                      const int32_t *origins, const int32_t *view_int,
+                      const double *view_frac, int64_t *tile_xy,
+                      uint8_t *requested, int64_t *released,
+                      int64_t *requested_keys, int32_t *n_released,
+                      int32_t *n_requested) {
+  ScanParams p;
+  p.kind = kind;
+  std::memcpy(p.m, m, sizeof(p.m));
+  std::memcpy(p.inv_m3, inv_m3, sizeof(p.inv_m3));
+  std::memcpy(p.view, view, sizeof(p.view));
+  p.approx_height = approx_height;
+  p.load_distance = load_distance;
+  int32_t nr = 0, nq = 0;
+  for (int32_t s = 0; s < S; ++s) {
+    for (int32_t l = 0; l < L; ++l) {
+      const int64_t sl = (int64_t)s * L + l;
+      const int32_t ox = origins[2 * sl], oy = origins[2 * sl + 1];
+      const int64_t vix = view_int[2 * sl], viy = view_int[2 * sl + 1];
+      const double vfx = view_frac[2 * sl], vfy = view_frac[2 * sl + 1];
+      const double inv_count = 1.0 / (double)(int64_t(1) << l);
+      const double ld = load_distance * inv_count;
+      for (int32_t i = 0; i < T; ++i) {    // x index
+        for (int32_t j = 0; j < T; ++j) {  // y index
+          const int64_t slot = (sl * T + i) * T + j;
+          // wrapping rule: origin + ((ij - origin) mod T)
+          const int64_t nx = ox + ((((int64_t)i - ox) % T) + T) % T;
+          const int64_t ny = oy + ((((int64_t)j - oy) % T) + T) % T;
+          // closest-point offset (tile_tree.rs:199-214)
+          const int64_t tox = vix - nx, toy = viy - ny;
+          const double offx = tox < 0 ? 0.0 : (tox > 0 ? 1.0 : vfx);
+          const double offy = toy < 0 ? 0.0 : (toy > 0 ? 1.0 : vfy);
+          const double u = ((double)nx + offx) * inv_count;
+          const double v = ((double)ny + offy) * inv_count;
+          double w[3];
+          bool finite = slot_world(p, s, u, v, w);
+          bool new_req = (l == 0);
+          if (!new_req && finite) {
+            const double dx = w[0] - p.view[0], dy = w[1] - p.view[1],
+                         dz = w[2] - p.view[2];
+            new_req = std::sqrt(dx * dx + dy * dy + dz * dz) < ld;
+          }
+          const int64_t old_x = tile_xy[2 * slot], old_y = tile_xy[2 * slot + 1];
+          const bool was_req = requested[slot] != 0;
+          const bool changed = (nx != old_x) || (ny != old_y);
+          if (changed && was_req)
+            released[nr++] = pack_key(s, l, old_x, old_y);
+          if (!changed && was_req && !new_req)
+            released[nr++] = pack_key(s, l, nx, ny);
+          if (new_req && (changed || !was_req))
+            requested_keys[nq++] = pack_key(s, l, nx, ny);
+          tile_xy[2 * slot] = nx;
+          tile_xy[2 * slot + 1] = ny;
+          requested[slot] = new_req ? 1 : 0;
+        }
+      }
+    }
+  }
+  *n_released = nr;
+  *n_requested = nq;
+}
 
 void *tr_residency_create(int32_t atlas_size, int32_t attachment_count) {
   return new Residency(atlas_size, attachment_count);

@@ -192,48 +192,50 @@ def pack_frame_uniforms(
     scale = model.scale
     m = np.asarray(model.world_from_local, np.float64)
     normal_matrix = np.linalg.inv(m[:3, :3]).T
-    scalars = np.array(
-        [
-            approx.approximate_height,
-            model.min_height,
-            model.max_height,
-            scale,
-            view_config.morph_distance * scale,
-            view_config.blend_distance * scale,
-            view_config.load_distance * scale,
-            view_config.morph_distance * scale * (1.0 + view_config.subdivision_tolerance),
-            view_config.precision_threshold_distance * scale,
-            view_config.morph_range,
-            view_config.blend_range,
-        ],
-        np.float32,
+    S, L = origins.shape[0], origins.shape[1]
+    nf = packed_f32_count(S, L)
+    ni = 12 + 2 * (S * L * 2) + entries.size
+    blob = np.empty(nf + ni, np.int32)
+    f32 = blob[:nf].view(np.float32)
+    o = 0
+
+    def put(values, n):
+        nonlocal o
+        f32[o:o + n] = values
+        o += n
+
+    put(np.asarray(view_world_position, np.float32), 3)
+    f32[3:14] = (
+        approx.approximate_height,
+        model.min_height,
+        model.max_height,
+        scale,
+        view_config.morph_distance * scale,
+        view_config.blend_distance * scale,
+        view_config.load_distance * scale,
+        view_config.morph_distance * scale * (1.0 + view_config.subdivision_tolerance),
+        view_config.precision_threshold_distance * scale,
+        view_config.morph_range,
+        view_config.blend_range,
     )
-    f32 = np.concatenate(
-        [
-            np.asarray(view_world_position, np.float32).ravel(),  # 3
-            scalars,  # 11
-            np.asarray(m[:3, :4], np.float32).ravel(),  # 12
-            np.asarray(normal_matrix, np.float32).ravel(),  # 9
-            np.asarray(approx.origin_uv, np.float32).ravel(),  # 12
-            np.asarray(approx.c, np.float32).ravel(),  # 18
-            np.asarray(approx.c_s, np.float32).ravel(),
-            np.asarray(approx.c_t, np.float32).ravel(),
-            np.asarray(approx.c_ss, np.float32).ravel(),
-            np.asarray(approx.c_st, np.float32).ravel(),
-            np.asarray(approx.c_tt, np.float32).ravel(),
-            np.asarray(view_tile_frac, np.float32).ravel(),
-            np.asarray(_planes_of(view_proj), np.float32).ravel(),  # 20
-        ]
-    )
-    i32 = np.concatenate(
-        [
-            np.asarray(approx.origin_xy, np.int32).ravel(),  # 12
-            np.asarray(origins, np.int32).ravel(),
-            np.asarray(view_tile_int, np.int32).ravel(),
-            np.asarray(entries, np.int32).ravel(),
-        ]
-    )
-    return np.concatenate([f32.view(np.int32), i32])
+    o = 14
+    put(m[:3, :4].ravel(), 12)
+    put(normal_matrix.ravel(), 9)
+    put(approx.origin_uv.ravel(), 12)
+    for coeff in (approx.c, approx.c_s, approx.c_t, approx.c_ss, approx.c_st,
+                  approx.c_tt):
+        put(coeff.ravel(), 18)
+    put(np.asarray(view_tile_frac).reshape(-1), S * L * 2)
+    put(_planes_of(view_proj).ravel(), 20)
+    assert o == nf, (o, nf)
+    i32 = blob[nf:]
+    i32[0:12] = approx.origin_xy.ravel()
+    p = 12
+    for arr in (origins, view_tile_int, entries):
+        flat = np.asarray(arr).reshape(-1)
+        i32[p:p + flat.size] = flat
+        p += flat.size
+    return blob
 
 
 def _planes_of(view_proj) -> np.ndarray:

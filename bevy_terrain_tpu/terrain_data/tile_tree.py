@@ -114,7 +114,13 @@ class TileTree:
         return world + self.approximate_height * n
 
     def compute_requests(self, view_world_position) -> None:
-        """Reference ``compute_requests`` + ``update`` (tile_tree.rs:268-359)."""
+        """Reference ``compute_requests`` + ``update`` (tile_tree.rs:268-359).
+
+        Runs the C++ scan (native/terrain_runtime.cpp::tr_scan_requests)
+        when available — identical f64 math without the ~0.5-1 ms/frame of
+        numpy interpreter overhead; the vectorized numpy scan below remains
+        the fallback and the fuzz oracle (test_native.py).
+        """
         model = self.model
         self.view_world_position = np.asarray(view_world_position, np.float64)
         S, L, T = model.side_count, self.lod_count, self.tree_size
@@ -122,6 +128,10 @@ class TileTree:
         self.origins, self.view_tile_int, self.view_tile_frac = compute_view_anchors(
             model, self.view_world_position, L, T
         )
+
+        if self._use_native_scan():
+            self._compute_requests_native()
+            return
 
         # per-slot coordinates under the wrapping rule (tile_tree.rs:281-305)
         idx = np.arange(T)
@@ -154,6 +164,45 @@ class TileTree:
         self.requested_tiles = self._collect(request_new, new_xy)
         self.tile_xy = new_xy
         self.tile_requested = new_requested
+
+    def _use_native_scan(self) -> bool:
+        if getattr(self, "_native_scan", None) is None:
+            from bevy_terrain_tpu import native
+
+            self._native_scan = native.available()
+        return self._native_scan
+
+    def _compute_requests_native(self) -> None:
+        from bevy_terrain_tpu import native
+
+        model = self.model
+        m = np.ascontiguousarray(
+            np.asarray(model.world_from_local, np.float64)[:3, :4]
+        )
+        inv_m3 = np.ascontiguousarray(np.linalg.inv(m[:3, :3]))
+        rel, req = native.scan_requests(
+            1 if model.is_spherical else 0,
+            m, inv_m3,
+            np.ascontiguousarray(self.view_world_position, np.float64),
+            self.approximate_height, self.load_distance,
+            np.ascontiguousarray(self.origins, np.int32),
+            np.ascontiguousarray(self.view_tile_int, np.int32),
+            np.ascontiguousarray(self.view_tile_frac, np.float64),
+            self.tile_xy, self.tile_requested,
+        )
+        self.released_tiles = self._from_keys(rel)
+        self.requested_tiles = self._from_keys(req)
+
+    @staticmethod
+    def _from_keys(keys: np.ndarray) -> list[TileCoordinate]:
+        sides = keys >> 57
+        lods = (keys >> 52) & 0x1F
+        xs = (keys >> 26) & 0x3FFFFFF
+        ys = keys & 0x3FFFFFF
+        return [
+            TileCoordinate(int(s), int(l), int(x), int(y))
+            for s, l, x, y in zip(sides, lods, xs, ys)
+        ]
 
     def _collect(self, mask: np.ndarray, xy: np.ndarray) -> list[TileCoordinate]:
         sides, lods, xs, ys = (

@@ -150,3 +150,52 @@ class TestNativeIo:
                 break
             time.sleep(0.005)
         assert done[0][0] == job and done[0][1] is None
+
+
+class TestNativeRequestScan:
+    """C++ tr_scan_requests vs the vectorized numpy oracle: identical slot
+    state and identical release/request SETS over random camera walks
+    (the interleaving of old/new releases within a frame may differ; a
+    release list is consumed refcount-wise, so order is immaterial)."""
+
+    @pytest.mark.parametrize("spherical", [False, True])
+    def test_fuzz_camera_walk(self, spherical):
+        if not native.available():
+            pytest.skip("native runtime unavailable")
+        from bevy_terrain_tpu.config import TerrainConfig, TerrainViewConfig
+        from bevy_terrain_tpu.math import TerrainModel
+        from bevy_terrain_tpu.terrain_data.tile_atlas import TileAtlas
+        from bevy_terrain_tpu.terrain_data.tile_tree import TileTree
+
+        rng = np.random.default_rng(17)
+        if spherical:
+            model = TerrainModel.sphere(np.array([10.0, -5.0, 2.0]), 1000.0, 0.0, 50.0)
+        else:
+            model = TerrainModel.planar(np.array([3.0, -100.0, 7.0]), 1000.0, 0.0, 250.0)
+        config = TerrainConfig(lod_count=5, model=model, atlas_size=64, path="x")
+        atlas = TileAtlas(config)
+        vc = TerrainViewConfig()
+        t_native = TileTree(atlas, vc)
+        t_numpy = TileTree(atlas, vc)
+        t_native._native_scan = True
+        t_numpy._native_scan = False
+
+        def key_set(tiles):
+            return sorted((c.side, c.lod, c.x, c.y) for c in tiles)
+
+        pos = np.array([120.0, 80.0, -60.0]) if not spherical else np.array([0.0, 0.0, 1400.0])
+        for step in range(40):
+            pos = pos + rng.normal(scale=60.0, size=3)
+            if spherical:
+                # keep the camera outside the planet
+                r = np.linalg.norm(pos - model.translation)
+                if r < 1050.0:
+                    pos = model.translation + (pos - model.translation) * (1100.0 / r)
+            t_native.compute_requests(pos)
+            t_numpy.compute_requests(pos)
+            np.testing.assert_array_equal(t_native.tile_xy, t_numpy.tile_xy, err_msg=str(step))
+            np.testing.assert_array_equal(
+                t_native.tile_requested, t_numpy.tile_requested, err_msg=str(step)
+            )
+            assert key_set(t_native.released_tiles) == key_set(t_numpy.released_tiles), step
+            assert key_set(t_native.requested_tiles) == key_set(t_numpy.requested_tiles), step
