@@ -61,8 +61,9 @@ def main() -> None:
         grid_size=vc.grid_size,
         refinement_count=vc.refinement_count,
         # the queue only handles the spill BEYOND the dense refinement levels
-        # (lods 8+ here: a few hundred tiles); overflow guards the bound
-        queue_capacity=2048,
+        # (lods 7+ here: a few hundred tiles/level); overflow guards the
+        # bound (measured: 1024 -> 233us refine vs 2048 -> 249)
+        queue_capacity=1024,
         tile_capacity=vc.tile_capacity,
         origin_lod=vc.origin_lod,
         pallas_sampling=on_tpu,
@@ -184,7 +185,7 @@ def main() -> None:
         terrain = Terrain(e2e_config)
         terrain.add_view(
             "cam", TerrainViewConfig(tile_capacity=vc.tile_capacity),
-            queue_capacity=2048, culling=True,
+            queue_capacity=1024, culling=True,
         )
         for i in range(300):
             out = terrain.update({"cam": view}, {"cam": view_proj})
