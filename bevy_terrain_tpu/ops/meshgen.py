@@ -247,12 +247,19 @@ def generate_mesh_fused(
     for the row layout). Use :func:`fused_to_grid` for the (F, G+1, G+1)
     view. Planar, grid_size 16, TPU only.
 
+    Spherical terrains require ``high_precision`` (the Taylor relative
+    path is the kernel's near-field position source, as in the flagship
+    Earth config).
+
     Returns (raw, sorted_tiles).
     """
     from bevy_terrain_tpu.ops import pallas_kernels as pk
     from bevy_terrain_tpu.ops import patch_sampling as ps
 
-    assert not cfg.spherical and not cfg.high_precision and cfg.grid_size == 16
+    assert cfg.grid_size == 16
+    assert cfg.spherical == cfg.high_precision, (
+        "fused kernel: planar runs without hp; spherical requires hp"
+    )
     F = cfg.tile_capacity
     tiles, batch = ps.plan_patch_batch(
         tiles, uniforms, cfg, plan, block_array.shape[0], pk.TILES_PER_STEP
@@ -264,23 +271,37 @@ def generate_mesh_fused(
         return jnp.concatenate([x, jnp.zeros((Fp - F,), x.dtype)]) if Fp > F else x
 
     live = (jnp.arange(Fp, dtype=jnp.int32) < tiles.tile_count).astype(jnp.float32)
-    tile_params = jnp.stack(
-        [
-            live,
-            pad(jnp.maximum(tiles.tile_lod[:F], 0).astype(jnp.float32)),
-            pad(tiles.tile_xy[:F, 0].astype(jnp.float32)),
-            pad(tiles.tile_xy[:F, 1].astype(jnp.float32)),
-        ],
-        axis=-1,
-    )  # (Fp, 4) [live, lodf, xf, yf]
+    cols = [
+        live,
+        pad(jnp.maximum(tiles.tile_lod[:F], 0).astype(jnp.float32)),
+        pad(tiles.tile_xy[:F, 0].astype(jnp.float32)),
+        pad(tiles.tile_xy[:F, 1].astype(jnp.float32)),
+    ]
+    if cfg.spherical:
+        side_i = pad(tiles.tile_side[:F])
+        cols.append(side_i.astype(jnp.float32))
+        t = uniforms.taylor
+        for table in (t.c, t.c_s, t.c_t, t.c_ss, t.c_st, t.c_tt):
+            rows3 = coords.take_side_rows(table, side_i, cfg.side_count)
+            cols += [rows3[:, 0], rows3[:, 1], rows3[:, 2]]
+        oxy = coords.take_side_rows(t.origin_xy, side_i, cfg.side_count)
+        ouv = coords.take_side_rows(t.origin_uv, side_i, cfg.side_count)
+        cols += [oxy[:, 0].astype(jnp.float32), oxy[:, 1].astype(jnp.float32),
+                 ouv[:, 0], ouv[:, 1]]
+    tile_params = jnp.stack(cols, axis=-1)  # (Fp, 4) or (Fp, 27)
     fs = pk.pack_mesh_scalars(uniforms, cfg, max_value)
-    raw = pk.mesh_fused(block_array, batch, tile_params, fs, interpret=interpret)
+    raw = pk.mesh_fused(
+        block_array, batch, tile_params, fs, spherical=cfg.spherical,
+        origin_lod=cfg.origin_lod, interpret=interpret,
+    )
     return raw, tiles
 
 
-def fused_to_grid(raw, tiles: RefinementOutput, cfg: StaticTerrainConfig) -> GridMeshOutput:
+def fused_to_grid(raw, tiles: RefinementOutput, cfg: StaticTerrainConfig,
+                  uniforms: FrameUniforms | None = None) -> GridMeshOutput:
     """Reshape the fused kernel's flat products into the GridMeshOutput
-    layout (relayout cost — use only off the benchmarked hot path)."""
+    layout (relayout cost — use only off the benchmarked hot path).
+    Spherical grids need ``uniforms`` for the geometric normals."""
     import numpy as np
 
     from bevy_terrain_tpu.ops import pallas_kernels as pk
@@ -297,8 +318,18 @@ def fused_to_grid(raw, tiles: RefinementOutput, cfg: StaticTerrainConfig) -> Gri
     heights = rows(0)
     positions = jnp.stack([rows(1), rows(2), rows(3)], axis=-1)
     uvs = jnp.stack([rows(4), rows(5)], axis=-1)
-    up = jnp.asarray(np.array([0.0, 1.0, 0.0], np.float32))
-    normals = jnp.broadcast_to(up, (F, G + 1, G + 1, 3))
+    if cfg.spherical:
+        side = jnp.broadcast_to(
+            tiles.tile_side[:F, None, None], (F, G + 1, G + 1))
+        lod = jnp.broadcast_to(
+            jnp.maximum(tiles.tile_lod[:F, None, None], 0), (F, G + 1, G + 1))
+        xy = jnp.broadcast_to(
+            tiles.tile_xy[:F, None, None, :], (F, G + 1, G + 1, 2))
+        local = coords.compute_local_position(side, lod, xy, uvs, True)
+        normals = coords.normal_local_to_world(local, uniforms.normal_matrix, True)
+    else:
+        up = jnp.asarray(np.array([0.0, 1.0, 0.0], np.float32))
+        normals = jnp.broadcast_to(up, (F, G + 1, G + 1, 3))
     tile_mask = jnp.arange(F, dtype=jnp.int32) < tiles.tile_count
     return GridMeshOutput(
         positions=positions, normals=normals, uvs=uvs, heights=heights,

@@ -299,7 +299,13 @@ FS_SIZE = 32
 
 
 def pack_mesh_scalars(uniforms, cfg, max_value: float) -> jnp.ndarray:
-    """(32,) f32 frame scalars for the fused mesh kernel (planar path)."""
+    """(48,) f32 frame scalars for the fused mesh kernel.
+
+    Layout: 0:12 world_from_local, 12:15 planar distance base, 15:18
+    planar up normal, 18:27 morph/blend/height scalars, 27 precision
+    threshold, 28 2^-origin_lod, 29 approximate_height, 30:39
+    normal_matrix, 39:42 view_world_position.
+    """
     m = uniforms.world_from_local  # (3, 4)
     n = uniforms.normal_matrix[:, 1]
     n = n / jnp.linalg.norm(n)
@@ -318,13 +324,37 @@ def pack_mesh_scalars(uniforms, cfg, max_value: float) -> jnp.ndarray:
             jnp.float32(1.0 if cfg.morph else 0.0),  # 24
             jnp.float32(1.0 if cfg.blend else 0.0),  # 25
             jnp.float32(cfg.lod_count) - 0.00001,  # 26
+            uniforms.precision_threshold_distance,  # 27
+            jnp.float32(2.0 ** -cfg.origin_lod),  # 28
+            uniforms.approximate_height,  # 29
         ]),
-        jnp.zeros((5,), jnp.float32),
+        uniforms.normal_matrix.reshape(9),  # 30:39
+        uniforms.view_world_position,  # 39:42
+        jnp.zeros((6,), jnp.float32),
     ]).astype(jnp.float32)
 
 
-def _mesh_kernel(uq_ref, slots_ref, rlo_ref, rhi_ref, nuq_ref, fs_ref,
-                 gr8_ref, hbm_ref, out_ref, cache, S, sem, cnt):
+# gr operand rows (per tile, lane-expanded in-kernel; see mesh_fused):
+# 0 p0x, 1 p0y, 2 dp, 3 live, 4 lodf, 5 xf, 6 yf, 7 valid — planar set;
+# spherical adds: 8..25 Taylor rows c/c_s/c_t/c_ss/c_st/c_tt (side-selected
+# per tile), 26..27 origin_xy - (tile re-anchor int part is per-vertex),
+# 28..29 origin_uv, 30 side, 31 unused
+GR_ROWS = 32
+
+
+C_SQR_F = 0.87 * 0.87  # cube-sphere warp constant (math/coordinate.py)
+
+
+def _make_mesh_kernel(spherical: bool, origin_lod: int):
+    def kernel(*refs):
+        _mesh_kernel_body(spherical, origin_lod, *refs)
+
+    return kernel
+
+
+def _mesh_kernel_body(spherical, origin_lod, uq_ref, slots_ref, rlo_ref,
+                      rhi_ref, nuq_ref, fs_ref, gr8_ref, hbm_ref, out_ref,
+                      cache, S, sem, cnt):
     s = pl.program_id(0)
     T = TILES_PER_STEP
 
@@ -366,13 +396,18 @@ def _mesh_kernel(uq_ref, slots_ref, rlo_ref, rhi_ref, nuq_ref, fs_ref,
     # layouts via 0/1 expander dots replaces two big host-side jnp.repeat
     # operands (20 MB/frame of traffic)
     PL = T * P
-    g8 = gr8_ref[0]  # (8, T)
+    g8 = gr8_ref[0]  # (GR_ROWS, T)
+    # HIGHEST precision: a bf16-pass dot would quantize the VALUES being
+    # broadcast (tile coordinates > 256 and Taylor coefficients lose
+    # mantissa bits); exact f32 passes cost nothing at these shapes
     tid_P = jax.lax.broadcasted_iota(jnp.int32, (T, PL), 1) // P
     EP = (tid_P == jax.lax.broadcasted_iota(jnp.int32, (T, PL), 0)).astype(jnp.float32)
-    gP = jnp.dot(g8, EP, preferred_element_type=jnp.float32)  # (8, PL)
+    gP = jnp.dot(g8, EP, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)  # (GR_ROWS, PL)
     tid_V = jax.lax.broadcasted_iota(jnp.int32, (T, LANES), 1) // GV
     EV = (tid_V == jax.lax.broadcasted_iota(jnp.int32, (T, LANES), 0)).astype(jnp.float32)
-    gV = jnp.dot(g8, EV, preferred_element_type=jnp.float32)  # (8, LANES)
+    gV = jnp.dot(g8, EV, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)  # (GR_ROWS, LANES)
 
     # ---- phase A: per-tile resample into the step slab ----
     # y tents: 33 rows in evens-first order (pos 2k / 2k-33); x tents: 51
@@ -499,12 +534,108 @@ def _mesh_kernel(uq_ref, slots_ref, rlo_ref, rhi_ref, nuq_ref, fs_ref,
     u = j.astype(jnp.float32) * (1.0 / (GV - 1.0))
     v = sub.astype(jnp.float32) * (1.0 / (GV - 1.0))
     inv_count = jnp.exp2(-lodf)
-    lx = (xf + u) * inv_count - 0.5
-    lz = (yf + v) * inv_count - 0.5
-    dx = fs[0] * lx + fs[2] * lz + fs[12]
-    dy = fs[4] * lx + fs[6] * lz + fs[13]
-    dz = fs[8] * lx + fs[10] * lz + fs[14]
-    dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+
+    def sphere_geometry(uu, vv):
+        """Cube-sphere world position/normal + HIGH_PRECISION Taylor
+        relative position at tile uv (uu, vv) — vertex.wgsl:30-55 +
+        functions.wgsl:73-115 on (GV, LANES) lanes. Returns
+        (wx, wy, wz world-f32, nx, ny, nz unit world normal, rel xyz
+        Taylor view-relative, dist_w world distance, dist_hp)."""
+        sidef = gV[30]
+        # --- local position: sigmoid inverse + per-side cube placement ---
+        uv01x = (xf + uu) * inv_count
+        uv01y = (yf + vv) * inv_count
+        wxp = 2.0 * uv01x - 1.0
+        wyp = 2.0 * uv01y - 1.0
+        pxs = wxp * jax.lax.rsqrt(1.0 + C_SQR_F - C_SQR_F * wxp * wxp)
+        pys = wyp * jax.lax.rsqrt(1.0 + C_SQR_F - C_SQR_F * wyp * wyp)
+        one = jnp.ones_like(pxs)
+
+        def pick(c0, c1, c2, c3, c4, c5):
+            r = jnp.where(sidef < 0.5, c0, c1)
+            r = jnp.where(sidef < 1.5, r, c2)
+            r = jnp.where(sidef < 2.5, r, c3)
+            r = jnp.where(sidef < 3.5, r, c4)
+            return jnp.where(sidef < 4.5, r, c5)
+
+        # cube = SIDE_LOCAL_MATRICES[side] @ [px, py, 1]
+        cx = pick(-one, pxs, pxs, one, pys, pys)
+        cy = pick(-pys, -pys, one, -pxs, -pxs, -one)
+        cz = pick(pxs, one, pys, pys, -one, pxs)
+        inv_n = jax.lax.rsqrt(cx * cx + cy * cy + cz * cz)
+        lx_, ly_, lz_ = cx * inv_n, cy * inv_n, cz * inv_n
+        wx = fs[0] * lx_ + fs[1] * ly_ + fs[2] * lz_ + fs[3]
+        wy = fs[4] * lx_ + fs[5] * ly_ + fs[6] * lz_ + fs[7]
+        wz = fs[8] * lx_ + fs[9] * ly_ + fs[10] * lz_ + fs[11]
+        # world normal = normalize(normal_matrix @ local)
+        nx = fs[30] * lx_ + fs[31] * ly_ + fs[32] * lz_
+        ny = fs[33] * lx_ + fs[34] * ly_ + fs[35] * lz_
+        nz = fs[36] * lx_ + fs[37] * ly_ + fs[38] * lz_
+        ninv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz)
+        nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
+        # world-space view distance at the approximate height
+        dwx = wx + fs[29] * nx - fs[39]
+        dwy = wy + fs[29] * ny - fs[40]
+        dwz = wz + fs[29] * nz - fs[41]
+        dist_w = jnp.sqrt(dwx * dwx + dwy * dwy + dwz * dwz)
+
+        # --- Taylor relative position (functions.wgsl:98-115): re-anchor
+        # the coordinate at origin_lod with INTEGER-exact cancellation ---
+        xi = xf.astype(jnp.int32)
+        yi = yf.astype(jnp.int32)
+        lodi = lodf.astype(jnp.int32)
+        ol = origin_lod
+        down = jnp.maximum(lodi - ol, 0)  # lod deeper than origin
+        up = jnp.maximum(ol - lodi, 0)
+        # down: oxy = xy >> d; ouv = ((xy & mask) + uv) * 2^-d
+        maskx = (jnp.int32(1) << down) - 1
+        scale_dn = jnp.exp2(-down.astype(jnp.float32))
+        scale_up = jnp.exp2(up.astype(jnp.float32))
+        ox_dn = jax.lax.shift_right_logical(xi, down)
+        oy_dn = jax.lax.shift_right_logical(yi, down)
+        oux_dn = ((xi & maskx).astype(jnp.float32) + uu) * scale_dn
+        ouy_dn = ((yi & maskx).astype(jnp.float32) + vv) * scale_dn
+        # up: scaled = uv * 2^d; oxy = (xy << d) + floor; ouv = frac
+        sux = uu * scale_up
+        suy = vv * scale_up
+        fux = jnp.floor(sux)
+        fuy = jnp.floor(suy)
+        ox_up = jax.lax.shift_left(xi, up) + fux.astype(jnp.int32)
+        oy_up = jax.lax.shift_left(yi, up) + fuy.astype(jnp.int32)
+        is_dn = lodi >= ol
+        oxi = jnp.where(is_dn, ox_dn, ox_up)
+        oyi = jnp.where(is_dn, oy_dn, oy_up)
+        oux = jnp.where(is_dn, oux_dn, sux - fux)
+        ouy = jnp.where(is_dn, ouy_dn, suy - fuy)
+        # integer parts cancel exactly against the per-tile origin anchor
+        st_s = ((oxi - gV[26].astype(jnp.int32)).astype(jnp.float32)
+                + (oux - gV[28])) * fs[28]
+        st_t = ((oyi - gV[27].astype(jnp.int32)).astype(jnp.float32)
+                + (ouy - gV[29])) * fs[28]
+        rx = (gV[8] + gV[11] * st_s + gV[14] * st_t + gV[17] * st_s * st_s
+              + gV[20] * st_s * st_t + gV[23] * st_t * st_t)
+        ry = (gV[9] + gV[12] * st_s + gV[15] * st_t + gV[18] * st_s * st_s
+              + gV[21] * st_s * st_t + gV[24] * st_t * st_t)
+        rz = (gV[10] + gV[13] * st_s + gV[16] * st_t + gV[19] * st_s * st_s
+              + gV[22] * st_s * st_t + gV[25] * st_t * st_t)
+        dhx = rx + fs[29] * nx
+        dhy = ry + fs[29] * ny
+        dhz = rz + fs[29] * nz
+        dist_hp = jnp.sqrt(dhx * dhx + dhy * dhy + dhz * dhz)
+        return wx, wy, wz, nx, ny, nz, rx, ry, rz, dist_w, dist_hp
+
+    if spherical:
+        geo = sphere_geometry(u, v)
+        dist_w0, dist_hp0 = geo[9], geo[10]
+        near = dist_w0 < fs[27]
+        dist = jnp.where(near, dist_hp0, dist_w0)
+    else:
+        lx = (xf + u) * inv_count - 0.5
+        lz = (yf + v) * inv_count - 0.5
+        dx = fs[0] * lx + fs[2] * lz + fs[12]
+        dy = fs[4] * lx + fs[6] * lz + fs[13]
+        dz = fs[8] * lx + fs[10] * lz + fs[14]
+        dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
 
     target_lod = jnp.log2(fs[18] / dist)
     mr = jnp.clip((lodf + fs[19] - target_lod) * (1.0 / fs[19]), 0.0, 1.0)
@@ -540,12 +671,26 @@ def _mesh_kernel(uq_ref, slots_ref, rlo_ref, rhi_ref, nuq_ref, fs_ref,
     h_norm = (h_fine + (h_smooth - h_fine) * bratio) * valid
     height = (fs[22] + fs[23] * h_norm) * live
 
-    # --- morphed world position + surface offset (planar) ---
-    mlx = (xf + mu) * inv_count - 0.5
-    mlz = (yf + mv) * inv_count - 0.5
-    px = fs[0] * mlx + fs[2] * mlz + fs[3] + height * fs[15]
-    py = fs[4] * mlx + fs[6] * mlz + fs[7] + height * fs[16]
-    pz = fs[8] * mlx + fs[10] * mlz + fs[11] + height * fs[17]
+    # --- morphed world position + surface offset ---
+    if spherical:
+        # vertex.wgsl:40-55: world position at the morphed uv; within the
+        # precision threshold the Taylor relative position (view + rel)
+        # replaces it and the UNMORPHED normal is kept (the staged path's
+        # exact selection, meshgen.generate_mesh_grid)
+        gm = sphere_geometry(mu, mv)
+        wxm, wym, wzm, nxm, nym, nzm, rxm, rym, rzm = gm[:9]
+        nx_f = jnp.where(near, geo[3], nxm)
+        ny_f = jnp.where(near, geo[4], nym)
+        nz_f = jnp.where(near, geo[5], nzm)
+        px = jnp.where(near, fs[39] + rxm, wxm) + height * nx_f
+        py = jnp.where(near, fs[40] + rym, wym) + height * ny_f
+        pz = jnp.where(near, fs[41] + rzm, wzm) + height * nz_f
+    else:
+        mlx = (xf + mu) * inv_count - 0.5
+        mlz = (yf + mv) * inv_count - 0.5
+        px = fs[0] * mlx + fs[2] * mlz + fs[3] + height * fs[15]
+        py = fs[4] * mlx + fs[6] * mlz + fs[7] + height * fs[16]
+        pz = fs[8] * mlx + fs[10] * mlz + fs[11] + height * fs[17]
 
     out_ref[0, 0 * GV:1 * GV] = height
     out_ref[0, 1 * GV:2 * GV] = px * live
@@ -555,37 +700,51 @@ def _mesh_kernel(uq_ref, slots_ref, rlo_ref, rhi_ref, nuq_ref, fs_ref,
     out_ref[0, 5 * GV:6 * GV] = mv * live
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def mesh_fused(block_array, batch, tile_params, fs, interpret: bool = False):
-    """Fused planar frame mesh: fetch + resample + morph + interpolate.
+@functools.partial(
+    jax.jit, static_argnames=("spherical", "origin_lod", "interpret")
+)
+def mesh_fused(block_array, batch, tile_params, fs, spherical: bool = False,
+               origin_lod: int = 10, interpret: bool = False):
+    """Fused frame mesh: fetch + resample + morph + interpolate.
 
     Args:
       block_array: (N, 32, 128) int32 quad blocks (HBM-resident).
       batch: patch_sampling.PatchBatch (quad-sorted schedule).
       tile_params: (Fp, 4) f32 per-tile [live, lodf, xf, yf] in the sorted
-        order (meshgen.generate_mesh_fused builds it).
-      fs: (32,) f32 frame scalars (pack_mesh_scalars).
+        order, or (Fp, 24) with the spherical extras [side, origin_xy(2),
+        origin_uv(2), taylor c/c_s/c_t/c_ss/c_st/c_tt (18)] appended
+        (meshgen.generate_mesh_fused builds both).
+      fs: (48,) f32 frame scalars (pack_mesh_scalars).
 
     Returns (steps, 102, LANES) f32: rows = [height, pos_xyz, morphed uv]
     x 17 vertex rows; lane = tile_in_step * 17 + vertex column.
     """
     Fp = batch.slots.shape[0]
     steps = Fp // TILES_PER_STEP
-    # ONE tiny per-tile operand (8, T)/step — the kernel lane-expands it
-    # on the MXU (see _mesh_kernel's expander dots)
+    # ONE tiny per-tile operand (GR_ROWS, T)/step — the kernel lane-expands
+    # it on the MXU (see _mesh_kernel_body's expander dots)
+    rows = [
+        batch.geom[:, 0], batch.geom[:, 1], batch.geom[:, 2],
+        tile_params[:, 0], tile_params[:, 1], tile_params[:, 2],
+        tile_params[:, 3], batch.geom[:, 3],
+    ]
+    if spherical:
+        # rows 8..25 taylor, 26..27 origin_xy, 28..29 origin_uv, 30 side
+        rows += [tile_params[:, 5 + r] for r in range(18)]  # taylor (col-major xyz)
+        rows += [tile_params[:, 23], tile_params[:, 24]]
+        rows += [tile_params[:, 25], tile_params[:, 26]]
+        rows += [tile_params[:, 4]]
+    while len(rows) < GR_ROWS:
+        rows.append(jnp.zeros_like(rows[0]))
     gr8 = jnp.transpose(
-        jnp.stack([
-            batch.geom[:, 0], batch.geom[:, 1], batch.geom[:, 2],
-            tile_params[:, 0], tile_params[:, 1], tile_params[:, 2],
-            tile_params[:, 3], batch.geom[:, 3],
-        ]).reshape(8, steps, TILES_PER_STEP),
+        jnp.stack(rows).reshape(GR_ROWS, steps, TILES_PER_STEP),
         (1, 0, 2),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(steps,),
         in_specs=[
-            pl.BlockSpec((1, 8, TILES_PER_STEP), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, GR_ROWS, TILES_PER_STEP), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -601,7 +760,7 @@ def mesh_fused(block_array, batch, tile_params, fs, interpret: bool = False):
         ],
     )
     return pl.pallas_call(
-        _mesh_kernel,
+        _make_mesh_kernel(spherical, origin_lod),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((steps, OUT_ROWS, LANES), jnp.float32),
         interpret=interpret,

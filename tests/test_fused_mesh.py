@@ -95,3 +95,87 @@ class TestFusedKernelMatchesStagedPath:
             np.testing.assert_allclose(hf[i], hr[j], atol=2e-2, err_msg=str(key))
             np.testing.assert_allclose(pf[i], pr[j], atol=2e-2, err_msg=str(key))
             np.testing.assert_allclose(uf[i], ur[j], atol=1e-6, err_msg=str(key))
+
+
+class TestFusedSpherical:
+    def test_spherical_hp_matches_staged(self):
+        """Spherical fused kernel (cube-sphere world path + Taylor
+        relative near-field) vs the staged hp path, interpret mode.
+        origin_lod=2 makes the frame span BOTH re-anchor directions
+        (tiles coarser and finer than the origin lod)."""
+        R = 6.371e6
+        model = TerrainModel.sphere(np.zeros(3), R, 0.0, 9000.0)
+        vc = TerrainViewConfig(tile_capacity=128, origin_lod=2)
+        anchor = np.array([0.3, 0.2, 0.93])
+        anchor /= np.linalg.norm(anchor)
+        view = model.position_local_to_world(anchor, 20_000.0)
+        LODS = 4
+
+        def cfgk(**kw):
+            return StaticTerrainConfig(
+                spherical=True, side_count=6, lod_count=LODS, tree_size=8,
+                grid_size=16, refinement_count=6, queue_capacity=512,
+                tile_capacity=128, origin_lod=2, high_precision=True, **kw,
+            )
+
+        origins, vt_int, vt_frac = tto.compute_view_anchors(model, view, LODS, 8)
+        approx = TerrainModelApproximation.compute(model, view, 2, 4500.0)
+        rng = np.random.default_rng(2)
+        entries = np.zeros((6, LODS, 8, 8, 2), np.int32)
+        entries[..., 0] = rng.integers(0, 16, (6, LODS, 8, 8))
+        entries[..., 1] = np.minimum(np.arange(LODS), 2)[None, :, None, None]
+        uniforms = make_frame_uniforms(
+            model, view, approx, origins, entries, vt_int, vt_frac, vc
+        )
+        plan = patch_sampling.make_patch_plan(512, 4, 2)
+        blocks = jnp.asarray(
+            rng.integers(0, 65535, (16 * plan.total_blocks_per_slot, 32, 128)).astype(np.int32)
+        )
+
+        cfg_ref = cfgk(blend_per_vertex=True)
+        cfg_fused = cfgk()
+        tiles0 = refinement.refine_tiles(uniforms, cfg_ref)
+        n = int(tiles0.tile_count)
+        assert n > 6
+        mesh_ref, tiles_ref = meshgen.generate_mesh_grid(
+            tiles0, blocks, uniforms, cfg_ref, plan, 65535.0
+        )
+        raw, tiles_f = meshgen.generate_mesh_fused(
+            refinement.refine_tiles(uniforms, cfg_fused), blocks, uniforms,
+            cfg_fused, plan, 65535.0, interpret=True,
+        )
+        mesh_f = meshgen.fused_to_grid(raw, tiles_f, cfg_fused, uniforms)
+        assert int(tiles_f.tile_count) == n
+
+        def rows(t):
+            return {
+                (int(sd), int(l), int(x), int(y)): i
+                for i, (sd, l, (x, y)) in enumerate(zip(
+                    np.asarray(t.tile_side[:n]), np.asarray(t.tile_lod[:n]),
+                    np.asarray(t.tile_xy[:n]),
+                ))
+            }
+
+        ra, rb = rows(tiles_f), rows(tiles_ref)
+        assert set(ra) == set(rb)
+        hf, hr = np.asarray(mesh_f.heights), np.asarray(mesh_ref.heights)
+        pf, pr = np.asarray(mesh_f.positions), np.asarray(mesh_ref.positions)
+        uf, ur = np.asarray(mesh_f.uvs), np.asarray(mesh_ref.uvs)
+        view_f = np.asarray(uniforms.view_world_position)
+        for key, i in ra.items():
+            j = rb[key]
+            np.testing.assert_allclose(hf[i], hr[j], atol=5e-2, err_msg=str(key))
+            np.testing.assert_allclose(uf[i], ur[j], atol=1e-6, err_msg=str(key))
+            # positions at planet scale: compare view-relative (f32 world
+            # quantization at 6.4e6 m is ~0.5 m per ulp; allow a few)
+            np.testing.assert_allclose(
+                pf[i] - view_f, pr[j] - view_f, atol=3.0, err_msg=str(key)
+            )
+        # the near-field (Taylor) vertices must agree tightly
+        d = np.linalg.norm(pr.reshape(-1, 3) - view_f, axis=-1)
+        nearmask = d < float(uniforms.precision_threshold_distance)
+        if nearmask.any():
+            np.testing.assert_allclose(
+                pf.reshape(-1, 3)[nearmask], pr.reshape(-1, 3)[nearmask],
+                atol=0.2,
+            )
