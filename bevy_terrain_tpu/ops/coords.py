@@ -446,32 +446,27 @@ def tile_visible(side, lod, xy, uniforms: FrameUniforms, cfg: StaticTerrainConfi
         r = (pa + pc) * (0.5 * inv_count[..., None]) + ph
         return jnp.all(d + r >= 0.0, axis=-1)
 
-    # max over the 8 corners of the signed distance, per plane
-    dmax = None
-    for cu in (0.0, 1.0):
-        for cv in (0.0, 1.0):
-            uv = jnp.stack(
-                [jnp.full(jnp.shape(lod), cu, jnp.float32),
-                 jnp.full(jnp.shape(lod), cv, jnp.float32)], axis=-1)
-            local = compute_local_position(side, lod, xy, uv, cfg.spherical)
-            world = position_local_to_world(local, uniforms.world_from_local)
-            normal = normal_local_to_world(
-                local, uniforms.normal_matrix, cfg.spherical)
-            for h in (hmin, hmax):
-                p = world + h * normal  # (..., 3)
-                d = (
-                    p[..., 0, None] * planes[:, 0]
-                    + p[..., 1, None] * planes[:, 1]
-                    + p[..., 2, None] * planes[:, 2]
-                    + planes[:, 3]
-                )  # (..., 5)
-                dmax = d if dmax is None else jnp.maximum(dmax, d)
-
-    if cfg.spherical:
-        theta = jnp.minimum(
-            1.2 * (jnp.pi / 2.0) * jnp.exp2(-lod.astype(jnp.float32)), jnp.pi
-        )
-        margin = uniforms.terrain_scale * (1.0 - jnp.cos(theta))
-    else:
-        margin = jnp.float32(0.0)
-    return jnp.all(dmax >= -margin[..., None] if cfg.spherical else dmax >= 0.0, axis=-1)
+    # spherical: ONE bounding sphere per tile (center at the tile-center
+    # surface point, radius = arc bound over the tile's angular span +
+    # the height range) instead of eight full corner chains — the dense
+    # refinement evaluates every tile of every level, so the per-lane
+    # cost matters. Every surface point of the tile lies within angular
+    # distance theta of the center (1.2x covers the C_SQR warp stretch),
+    # hence within arc (scale + hmax) * theta of the center point.
+    center_uv = jnp.full(jnp.shape(xy), 0.5, jnp.float32)
+    local = compute_local_position(side, lod, xy, center_uv, True)
+    world = position_local_to_world(local, uniforms.world_from_local)
+    normal = normal_local_to_world(local, uniforms.normal_matrix, True)
+    hmid = 0.5 * (hmin + hmax)
+    p = world + hmid * normal
+    d = (
+        p[..., 0, None] * planes[:, 0]
+        + p[..., 1, None] * planes[:, 1]
+        + p[..., 2, None] * planes[:, 2]
+        + planes[:, 3]
+    )  # (..., 5)
+    theta = jnp.minimum(
+        1.2 * (jnp.pi / 2.0) * jnp.exp2(-lod.astype(jnp.float32)), jnp.pi
+    )
+    r = (uniforms.terrain_scale + jnp.abs(hmax)) * theta + (hmax - hmin)
+    return jnp.all(d + r[..., None] >= 0.0, axis=-1)

@@ -248,6 +248,16 @@ class Terrain:
         return tiles, mesh
 
     @staticmethod
+    def _use_fused(cfg: StaticTerrainConfig) -> bool:
+        """The single-kernel fused mesh path covers planar and
+        spherical-with-Taylor frames at grid 16 on TPU (its blend is
+        always per-vertex — the higher-quality crossfade)."""
+        return (
+            cfg.pallas_sampling and cfg.grid_size == 16
+            and (cfg.spherical == cfg.high_precision)
+        )
+
+    @staticmethod
     def _frame_step_grid(block_array, uniform_blob,
                          cfg: StaticTerrainConfig, plan, max_value: float,
                          shade_opts=None, material=None):
@@ -260,9 +270,15 @@ class Terrain:
         # generate_mesh_grid reorders the tile list by atlas quad id (the
         # streaming-cache fetch schedule); the returned tiles are the
         # frame's canonical list, row-paired with the mesh
-        mesh, tiles = meshgen.generate_mesh_grid(
-            tiles, block_array, uniforms, cfg, plan, max_value
-        )
+        if Terrain._use_fused(cfg):
+            raw, tiles = meshgen.generate_mesh_fused(
+                tiles, block_array, uniforms, cfg, plan, max_value
+            )
+            mesh = meshgen.fused_to_grid(raw, tiles, cfg, uniforms)
+        else:
+            mesh, tiles = meshgen.generate_mesh_grid(
+                tiles, block_array, uniforms, cfg, plan, max_value
+            )
         colors = Terrain._maybe_shade(mesh, tiles, uniforms, cfg, shade_opts, material)
         return tiles, mesh, colors
 
@@ -288,9 +304,15 @@ class Terrain:
         uniforms = unpack_frame_uniforms(
             uniform_blob, cfg.side_count, cfg.lod_count, cfg.tree_size
         )
-        mesh, tiles = meshgen.generate_mesh_grid(
-            tiles, block_array, uniforms, cfg, plan, max_value
-        )
+        if Terrain._use_fused(cfg):
+            raw, tiles = meshgen.generate_mesh_fused(
+                tiles, block_array, uniforms, cfg, plan, max_value
+            )
+            mesh = meshgen.fused_to_grid(raw, tiles, cfg, uniforms)
+        else:
+            mesh, tiles = meshgen.generate_mesh_grid(
+                tiles, block_array, uniforms, cfg, plan, max_value
+            )
         colors = Terrain._maybe_shade(mesh, tiles, uniforms, cfg, shade_opts, material)
         return tiles, mesh, colors
 
