@@ -20,7 +20,10 @@ import numpy as np
 class DebugTerrain:
     """Runtime debug toggles (reference src/debug/mod.rs:24-88 defaults)."""
 
-    wireframe: bool = False  # rasterizer concern; carried for API parity
+    # wireframe: the reference flips the rasterizer's polygon mode
+    # (terrain_material.rs:299-303); here the shaded output gets a
+    # tile-border/lattice darkening overlay (material.wireframe_overlay)
+    wireframe: bool = False
     show_data_lod: bool = False
     show_geometry_lod: bool = False
     show_tile_tree: bool = False

@@ -307,6 +307,23 @@ def show_pixels(ctx: ShadeContext):
     )
 
 
+def wireframe_overlay(ctx: ShadeContext, colors):
+    """Wireframe stand-in for the reference's polygon-mode toggle
+    (terrain_material.rs:299-303). A buffer-producing engine has no
+    rasterizer line mode; every vertex already sits on the triangle
+    lattice, so the overlay darkens TILE-BORDER vertices strongly and
+    every other vertex lightly — the tile lattice and grid density read
+    directly in the shaded output."""
+    G = ctx.cfg.grid_size
+    i = np.arange(G + 1)
+    edge_axis = ((i == 0) | (i == G)).astype(np.float32)
+    edge = np.maximum.outer(edge_axis, edge_axis)  # tile border mask
+    w = jnp.asarray(0.25 + 0.75 * edge, np.float32)[None, :, :, None]
+    return jnp.concatenate(
+        [colors[..., :3] * (1.0 - 0.55 * w), colors[..., 3:]], axis=-1
+    )
+
+
 DEBUG_VIEWS = {
     "geometry_lod": show_geometry_lod,
     "data_lod": show_data_lod,
@@ -326,6 +343,7 @@ def shade(
     lighting: bool = True,
     debug_view: Optional[str] = None,
     texture_size: int = 512,
+    wireframe: bool = False,
 ):
     """Fragment-stage composition (fragment.wgsl:95-113): material color,
     optional lighting, optional debug overlay. Returns (F, G+1, G+1, 4).
@@ -349,5 +367,7 @@ def shade(
             colors = colors + (show_pixels(ctx) - colors) * 0.5
         elif view is not None:
             colors = DEBUG_VIEWS[view](ctx)
+    if wireframe:
+        colors = wireframe_overlay(ctx, colors)
     mask = mesh.tile_mask[:, None, None, None]
     return jnp.where(mask, colors, 0.0)

@@ -156,7 +156,8 @@ class Terrain:
         )
 
     def set_shading(self, material=None, lighting: bool = True,
-                    debug_view=None, enabled: bool = True) -> None:
+                    debug_view=None, enabled: bool = True,
+                    wireframe: bool = False) -> None:
         """Enable per-vertex shading in the frame step (fragment-stage
         equivalent; see render/material.py). ``material`` must be a stable
         jittable callable — it is a jit-static argument."""
@@ -165,7 +166,7 @@ class Terrain:
             self.atlas.attachments[0].config.texture_size
             if self.atlas.attachments else 512
         )
-        self._shade_opts = (lighting, debug_view, ts) if enabled else None
+        self._shade_opts = (lighting, debug_view, ts, wireframe) if enabled else None
 
     def set_debug(self, debug) -> None:
         """Apply a DebugTerrain resource (reference debug/mod.rs:94-260).
@@ -183,10 +184,11 @@ class Terrain:
             self._static_cfgs[view_id] = dataclasses.replace(
                 self._static_cfgs[view_id], **debug.static_overrides()
             )
-        if debug.debug_view is not None or self._shade_opts is not None:
+        if (debug.debug_view is not None or debug.wireframe
+                or self._shade_opts is not None):
             self.set_shading(
                 self.shading_fn, lighting=debug.lighting,
-                debug_view=debug.debug_view,
+                debug_view=debug.debug_view, wireframe=debug.wireframe,
             )
         if not debug.freeze:
             self._frozen_tiles.clear()
@@ -288,11 +290,11 @@ class Terrain:
             return None
         from bevy_terrain_tpu.render.material import shade
 
-        lighting, debug_view, texture_size = shade_opts
+        lighting, debug_view, texture_size, wireframe = shade_opts
         return shade(
             mesh, tiles, uniforms, cfg,
             material=material, lighting=lighting, debug_view=debug_view,
-            texture_size=texture_size,
+            texture_size=texture_size, wireframe=wireframe,
         )
 
     @staticmethod

@@ -349,3 +349,23 @@ class TestTuneView:
         t.tune_view("cam", grid_size=16)
         out = t.update({"cam": view})["cam"]
         assert out.mesh.heights.shape[1] == 17
+
+
+class TestWireframe:
+    def test_wireframe_darkens_tile_borders(self, shaded_terrain):
+        t, view, _ = shaded_terrain
+        t.set_shading(lighting=False)
+        base = t.update({"cam": view})["cam"]
+        t.set_shading(lighting=False, wireframe=True)
+        wf = t.update({"cam": view})["cam"]
+        mask = np.asarray(base.mesh.tile_mask)
+        cb = np.asarray(base.colors)[mask][..., :3]
+        cw = np.asarray(wf.colors)[mask][..., :3]
+        # everything darkens; borders darken more than interiors
+        assert (cw <= cb + 1e-6).all()
+        border = np.zeros((17, 17), bool)
+        border[0] = border[-1] = border[:, 0] = border[:, -1] = True
+        db = (cb - cw)[:, border].mean()
+        di = (cb - cw)[:, ~border].mean()
+        assert db > di > 0.0
+        t.set_shading(enabled=True, lighting=True)
