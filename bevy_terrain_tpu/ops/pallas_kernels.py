@@ -415,22 +415,26 @@ def _mesh_kernel_body(spherical, origin_lod, uq_ref, slots_ref, rlo_ref,
     # window slabs come out as contiguous 17-column blocks. Tents build
     # step-batched on (rows, T*64) (one big VPU pass instead of 64 small
     # ones: -100 us measured).
-    rl = (jax.lax.broadcasted_iota(jnp.int32, (K, PL), 1) % P).astype(jnp.float32)
-    ky = jax.lax.broadcasted_iota(jnp.int32, (K, PL), 0)
-    pos_y = jnp.where(ky < GV, 2 * ky, 2 * ky - K).astype(jnp.float32)
+    # ONE (84, T*64) tent build for both families: rows 0..32 = y tents
+    # (evens-first positions), rows 33..83 = x tents (a-major positions)
+    NT = K + 3 * GV  # 84
+    rl = (jax.lax.broadcasted_iota(jnp.int32, (NT, PL), 1) % P).astype(jnp.float32)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (NT, PL), 0)
+    ky = rowi
+    pos_y = jnp.where(ky < GV, 2 * ky, 2 * ky - K)
+    qx = rowi - K
+    axx, jxx = qx // GV, qx % GV
+    pos_x = jnp.where(jxx == 0, 0, 2 * jxx - 2 + axx)
+    pos = jnp.where(rowi < K, pos_y, pos_x).astype(jnp.float32)
     p0x_l = gP[0:1, :]  # (1, PL)
     p0y_l = gP[1:2, :]
     dp_l = gP[2:3, :]
-    wy_all = jnp.maximum(
-        0.0, 1.0 - jnp.abs(jnp.clip(p0y_l + pos_y * dp_l, 0.0, P - 1.0) - rl)
+    p0 = jnp.where(rowi < K, p0y_l, p0x_l)
+    tents = jnp.maximum(
+        0.0, 1.0 - jnp.abs(jnp.clip(p0 + pos * dp_l, 0.0, P - 1.0) - rl)
     )
-    rlx = (jax.lax.broadcasted_iota(jnp.int32, (3 * GV, PL), 1) % P).astype(jnp.float32)
-    qx = jax.lax.broadcasted_iota(jnp.int32, (3 * GV, PL), 0)
-    axx, jxx = qx // GV, qx % GV
-    pos_x = jnp.where(jxx == 0, 0, 2 * jxx - 2 + axx).astype(jnp.float32)
-    wx_all = jnp.maximum(
-        0.0, 1.0 - jnp.abs(jnp.clip(p0x_l + pos_x * dp_l, 0.0, P - 1.0) - rlx)
-    )
+    wy_all = tents[0:K]
+    wx_all = tents[K:NT]
 
     for t in range(T):
         slot = slots_ref[s * T + t]
