@@ -27,13 +27,17 @@ import jax
 import numpy as np
 
 
-def device_time_ms(fn, *args, label: str = "bench", trace_dir: str = "/tmp/bt_prof") -> float:
-    """Duration of the longest jit event in a one-shot profiler trace."""
+def device_time_ms(fn, *args, label: str = "bench", trace_dir: str = "/tmp/bt_prof",
+                   runs: int = 5) -> float:
+    """Median device duration of the jitted step over ``runs`` profiled
+    executions (one trace). A single profiled sample varies ~2% run to
+    run; the median is the honest, stable figure."""
     jax.block_until_ready(fn(*args))  # compile + warm
     d = f"{trace_dir}_{label}"
     shutil.rmtree(d, ignore_errors=True)
     with jax.profiler.trace(d):
-        jax.block_until_ready(fn(*args))
+        for _ in range(runs):
+            jax.block_until_ready(fn(*args))
     files = sorted(glob.glob(d + "/**/*.trace.json.gz", recursive=True))
     if not files:
         raise RuntimeError("no profiler trace produced")
@@ -46,7 +50,15 @@ def device_time_ms(fn, *args, label: str = "bench", trace_dir: str = "/tmp/bt_pr
     ]
     if not events:
         raise RuntimeError("no jit events in trace")
-    return max(e["dur"] for e in events) / 1e3
+    # group by name, take the step with the largest total (the frame jit),
+    # then the median duration across its executions
+    from collections import defaultdict
+
+    by_name = defaultdict(list)
+    for e in events:
+        by_name[e["name"]].append(e["dur"])
+    durs = max(by_name.values(), key=lambda v: sum(v))
+    return float(np.median(durs)) / 1e3
 
 
 def _fetch(out) -> None:
