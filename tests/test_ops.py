@@ -397,3 +397,46 @@ class TestRefinementOverflow:
         tiles = jax.jit(refinement.refine_tiles, static_argnames="cfg")(u, cfg)
         assert int(tiles.overflow) == 0
         assert 0 < int(tiles.tile_count) < 2048
+
+
+class TestRefinementFuzz:
+    """Property fuzz over random cameras: the dense+spill refinement must
+    always emit a complete, disjoint covering (area == 1 per side) with
+    zero overflow at generous capacities."""
+
+    @pytest.mark.parametrize("spherical", [False, True])
+    def test_random_cameras(self, spherical):
+        rng = np.random.default_rng(23)
+        model = SPHERE if spherical else PLANAR
+        vc = TerrainViewConfig(tile_capacity=32768)
+        lods = 6 if spherical else 8
+        for trial in range(4):
+            if spherical:
+                d = rng.uniform(6.45e6, 2.0e7)
+                u = rng.normal(size=3)
+                pos = u / np.linalg.norm(u) * d
+            else:
+                pos = np.array([
+                    rng.uniform(-600, 600), rng.uniform(-99, 400),
+                    rng.uniform(-600, 600),
+                ])
+            cfg, uniforms = build_frame(
+                model, vc, pos, lods, queue_capacity=32768)
+            t = jax.jit(refinement.refine_tiles, static_argnames="cfg")(
+                uniforms, cfg)
+            n = int(t.tile_count)
+            assert int(t.overflow) == 0, (trial, int(t.overflow))
+            assert n > 0
+            side = np.asarray(t.tile_side[:n])
+            lod = np.asarray(t.tile_lod[:n])
+            xy = np.asarray(t.tile_xy[:n])
+            for s in range(model.side_count):
+                area = np.sum(0.25 ** lod[side == s].astype(np.float64))
+                assert area == pytest.approx(1.0, abs=1e-12), (trial, s)
+            keys = set(zip(side.tolist(), lod.tolist(),
+                           xy[:, 0].tolist(), xy[:, 1].tolist()))
+            assert len(keys) == n  # no duplicates
+            for sd, l, x, y in keys:
+                for al in range(l):
+                    sh = l - al
+                    assert (sd, al, x >> sh, y >> sh) not in keys
