@@ -900,3 +900,172 @@ def _fetch_resample_chunk(block_array, ids, geom, interpret: bool = False):
         interpret=interpret,
     )(ids, geom.reshape(steps, T, 8), *([block_array] * T))
     return out[:F] if Fp != F else out
+
+
+# ---------------------------------------------------------------------------
+# Fused attachment sampling (fragment-stage fetch for albedo/splat/...)
+# ---------------------------------------------------------------------------
+# Same streaming-cache fetch + MXU resample as the mesh kernel, but the
+# vertex stage interpolates at GIVEN morphed uvs (the frame's mesh.uvs)
+# and skips morph/blend/geometry entirely — attachments sample one data
+# lod (attachments.wgsl:12-43 with the mip pinned by patch_geometry).
+
+
+def _attach_kernel(uq_ref, slots_ref, rlo_ref, rhi_ref, nuq_ref,
+                   ga_ref, uv_ref, hbm_ref, out_ref, cache, S, sem, cnt):
+    s = pl.program_id(0)
+    T = TILES_PER_STEP
+
+    @pl.when(s == 0)
+    def _():
+        cnt[0] = 0
+        cnt[1] = 0
+
+    def transfer(r):
+        return pltpu.make_async_copy(
+            hbm_ref.at[uq_ref[r]], cache.at[r % U_MAX], sem
+        )
+
+    def wait_range(lo, hi):
+        jax.lax.fori_loop(lo, hi, lambda r, c: (transfer(r).wait(), c)[1], 0)
+
+    @pl.when(s > 0)
+    def _():
+        wait_range(cnt[1], cnt[0])
+        cnt[1] = cnt[0]
+
+    issued = cnt[0]
+    allowed = jnp.minimum(
+        jnp.minimum(rlo_ref[s] + U_MAX, rhi_ref[s] + LOOKAHEAD), nuq_ref[0]
+    )
+    allowed = jnp.maximum(allowed, issued)
+    jax.lax.fori_loop(issued, allowed, lambda r, c: (transfer(r).start(), c)[1], 0)
+    cnt[0] = allowed
+
+    @pl.when(s == 0)
+    def _():
+        wait_range(0, allowed)
+        cnt[1] = allowed
+
+    # per-tile params lane-expanded on the MXU (rows [p0x, p0y, dp, valid])
+    PL = T * P
+    g4 = ga_ref[0]  # (8, T)
+    tid_P = jax.lax.broadcasted_iota(jnp.int32, (T, PL), 1) // P
+    EP = (tid_P == jax.lax.broadcasted_iota(jnp.int32, (T, PL), 0)).astype(jnp.float32)
+    gP = jnp.dot(g4, EP, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    tid_V = jax.lax.broadcasted_iota(jnp.int32, (T, LANES), 1) // GV
+    EV = (tid_V == jax.lax.broadcasted_iota(jnp.int32, (T, LANES), 0)).astype(jnp.float32)
+    gV = jnp.dot(g4, EV, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+
+    # phase A: combined tent build + per-tile resample into slabs
+    NT = K + 3 * GV
+    rl = (jax.lax.broadcasted_iota(jnp.int32, (NT, PL), 1) % P).astype(jnp.float32)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (NT, PL), 0)
+    pos_y = jnp.where(rowi < GV, 2 * rowi, 2 * rowi - K)
+    qx = rowi - K
+    axx, jxx = qx // GV, qx % GV
+    pos_x = jnp.where(jxx == 0, 0, 2 * jxx - 2 + axx)
+    pos = jnp.where(rowi < K, pos_y, pos_x).astype(jnp.float32)
+    p0 = jnp.where(rowi < K, gP[1:2, :], gP[0:1, :])
+    tents = jnp.maximum(
+        0.0, 1.0 - jnp.abs(jnp.clip(p0 + pos * gP[2:3, :], 0.0, P - 1.0) - rl)
+    )
+    wy_all = tents[0:K]
+    wx_all = tents[K:NT]
+    for t in range(T):
+        slot = slots_ref[s * T + t]
+        q = cache[slot % U_MAX].astype(jnp.float32)
+        c = jnp.mean(q)
+        qc = q - c
+        wy = wy_all[:, t * P:(t + 1) * P]
+        wx = wx_all[:, t * P:(t + 1) * P]
+        rows = jnp.dot(wy[:, 0:32], qc[:, 0:64],
+                       preferred_element_type=jnp.float32) + jnp.dot(
+            wy[:, 32:64], qc[:, 64:128], preferred_element_type=jnp.float32
+        )
+        half3 = jnp.dot(rows, wx.T, preferred_element_type=jnp.float32)
+        base = t * GV
+        S[0, :, base:base + GV] = half3[:, 0:GV] + c
+        S[1, :, base:base + GV] = half3[:, GV:2 * GV] + c
+        S[2, :, base:base + GV] = half3[:, 2 * GV:3 * GV] + c
+
+    # phase B: 3x3 window interpolation at the GIVEN uvs
+    E = GV
+
+    def ysel(x, b):
+        if b == 0:
+            body = jax.lax.slice_in_dim(x, 0, E - 1, axis=0)
+        elif b == 1:
+            body = jax.lax.slice_in_dim(x, E, K, axis=0)
+        else:
+            return jax.lax.slice_in_dim(x, 0, E, axis=0)
+        return jnp.concatenate(
+            [jax.lax.slice_in_dim(x, 0, 1, axis=0), body], axis=0)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (GV, LANES), 1)
+    j = lane % GV
+    sub = jax.lax.broadcasted_iota(jnp.int32, (GV, LANES), 0)
+    mu = uv_ref[0, 0:GV]
+    mv = uv_ref[0, GV:2 * GV]
+    lxw = mu * (2.0 * (GV - 1.0)) - jnp.maximum(2 * j - 2, 0).astype(jnp.float32)
+    lyw = mv * (2.0 * (GV - 1.0)) - jnp.maximum(2 * sub - 2, 0).astype(jnp.float32)
+    h = jnp.zeros((GV, LANES), jnp.float32)
+    for b in range(3):
+        wyb = jnp.maximum(0.0, 1.0 - jnp.abs(lyw - b))
+        for a, slab in ((0, S[0]), (1, S[1]), (2, S[2])):
+            wxa = jnp.maximum(0.0, 1.0 - jnp.abs(lxw - a))
+            h = h + wyb * wxa * ysel(slab, b)
+    out_ref[0] = h * gV[3]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def attach_sample_fused(block_array, batch, uvrows, interpret: bool = False):
+    """Sample one attachment channel at given morphed uvs, fully fused.
+
+    Args:
+      block_array: (N, 32, 128) int32 quad blocks of the channel.
+      batch: the frame's PatchBatch (assume_sorted schedule for this plan).
+      uvrows: (steps, 2*GV, LANES) f32 — rows 0..16 = u per vertex row,
+        rows 17..33 = v, in the mesh kernel's lane layout.
+
+    Returns (steps, GV, LANES) f32 raw texel values (caller normalizes).
+    """
+    Fp = batch.slots.shape[0]
+    steps = Fp // TILES_PER_STEP
+    ga = jnp.transpose(
+        jnp.stack([
+            batch.geom[:, 0], batch.geom[:, 1], batch.geom[:, 2],
+            batch.geom[:, 3],
+            jnp.zeros((Fp,), jnp.float32), jnp.zeros((Fp,), jnp.float32),
+            jnp.zeros((Fp,), jnp.float32), jnp.zeros((Fp,), jnp.float32),
+        ]).reshape(8, steps, TILES_PER_STEP),
+        (1, 0, 2),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((1, 8, TILES_PER_STEP), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * GV, LANES), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, GV, LANES), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((U_MAX, 32, 128), jnp.int32),
+            pltpu.VMEM((3, K, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((2,), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        _attach_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((steps, GV, LANES), jnp.float32),
+        interpret=interpret,
+    )(batch.uq, batch.slots, batch.rank_lo, batch.rank_hi, batch.n_unique,
+      ga, uvrows, block_array)

@@ -594,15 +594,38 @@ def sample_attachment_vertices(
     batch = batch._replace(geom=geom)
 
     channels = []
+    if use_pallas:
+        # fully fused channel sampler: fetch + resample + window interp at
+        # the frame's morphed uvs in ONE kernel per channel
+        # (pallas_kernels.attach_sample_fused). Pack the grid uvs into the
+        # kernel's (steps, 2*GV, LANES) row layout once.
+        T = tiles_per_step
+        G1 = cfg.grid_size + 1
+        Fp = batch.slots.shape[0]
+        steps = Fp // T
+        pad_n = Fp - F
+
+        def rows_of(comp):
+            x = morphed_uv[..., comp]  # (F, G1, G1)
+            if pad_n:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((pad_n, G1, G1), x.dtype)], axis=0)
+            x = x.reshape(steps, T, G1, G1)
+            return jnp.transpose(x, (0, 2, 1, 3)).reshape(steps, G1, T * G1)
+
+        uvrows = jnp.concatenate([rows_of(0), rows_of(1)], axis=1)
+        for block_array in block_arrays:
+            raw = pallas_kernels.attach_sample_fused(block_array, batch, uvrows)
+            vals = jnp.transpose(
+                raw.reshape(steps, G1, T, G1), (0, 2, 1, 3)
+            ).reshape(Fp, G1, G1)[:F]
+            channels.append(vals / max_value)
+        return jnp.stack(channels, axis=-1)
     for block_array in block_arrays:
-        if use_pallas:
-            half = pallas_kernels.fetch_resample_cached(block_array, batch)[:F]
-            half = half / max_value
-        else:
-            patch = fetch_patches_xla(block_array, batch.ids[:F, None])
-            half = halfgrid_resample(
-                patch, batch.geom[:F, 0:2], batch.geom[:F, 2], cfg
-            ) / max_value
-            half = permute_halfgrid(half * batch.geom[:F, 3][:, None, None])
+        patch = fetch_patches_xla(block_array, batch.ids[:F, None])
+        half = halfgrid_resample(
+            patch, batch.geom[:F, 0:2], batch.geom[:F, 2], cfg
+        ) / max_value
+        half = permute_halfgrid(half * batch.geom[:F, 3][:, None, None])
         channels.append(vertex_values_from_halfgrid(half, morphed_uv, cfg))
     return jnp.stack(channels, axis=-1)

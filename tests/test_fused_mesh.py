@@ -179,3 +179,53 @@ class TestFusedSpherical:
                 pf.reshape(-1, 3)[nearmask], pr.reshape(-1, 3)[nearmask],
                 atol=0.2,
             )
+
+
+class TestFusedAttachmentSampling:
+    def test_matches_xla_fallback(self, small_frame):
+        """attach_sample_fused (interpret mode) vs the XLA fallback
+        channel sampler at the same morphed uvs."""
+        model, vc, uniforms, plan, blocks = small_frame
+        cfg = _cfg(vc)
+        tiles = refinement.refine_tiles(uniforms, cfg)
+        tiles, batch = patch_sampling.plan_patch_batch(
+            tiles, uniforms, cfg, plan, blocks.shape[0], pk.TILES_PER_STEP
+        )
+        F, G1 = cfg.tile_capacity, cfg.grid_size + 1
+        rng = np.random.default_rng(4)
+        uv = jnp.asarray(rng.uniform(0, 1, (F, G1, G1, 2)).astype(np.float32))
+        geom = batch.geom.at[:, 4].set(0.0)
+        batch = batch._replace(geom=geom)
+
+        # XLA fallback
+        patch = patch_sampling.fetch_patches_xla(blocks, batch.ids[:F, None])
+        half = patch_sampling.halfgrid_resample(
+            patch, batch.geom[:F, 0:2], batch.geom[:F, 2], cfg
+        ) / 65535.0
+        half = patch_sampling.permute_halfgrid(
+            half * batch.geom[:F, 3][:, None, None])
+        want = np.asarray(
+            patch_sampling.vertex_values_from_halfgrid(half, uv, cfg))
+
+        # fused kernel (interpret)
+        T = pk.TILES_PER_STEP
+        Fp = batch.slots.shape[0]
+        steps = Fp // T
+        pad_n = Fp - F
+
+        def rows_of(comp):
+            x = uv[..., comp]
+            if pad_n:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((pad_n, G1, G1), x.dtype)], axis=0)
+            x = x.reshape(steps, T, G1, G1)
+            return jnp.transpose(x, (0, 2, 1, 3)).reshape(steps, G1, T * G1)
+
+        uvrows = jnp.concatenate([rows_of(0), rows_of(1)], axis=1)
+        raw = pk.attach_sample_fused(blocks, batch, uvrows, interpret=True)
+        got = np.asarray(
+            jnp.transpose(raw.reshape(steps, G1, T, G1), (0, 2, 1, 3))
+            .reshape(Fp, G1, G1)[:F]
+        ) / 65535.0
+        n = int(tiles.tile_count)
+        np.testing.assert_allclose(got[:n], want[:n], atol=2e-3)
