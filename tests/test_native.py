@@ -158,8 +158,8 @@ class TestNativeRequestScan:
     (the interleaving of old/new releases within a frame may differ; a
     release list is consumed refcount-wise, so order is immaterial)."""
 
-    @pytest.mark.parametrize("spherical", [False, True])
-    def test_fuzz_camera_walk(self, spherical):
+    @pytest.mark.parametrize("kind", ["planar", "sphere", "ellipsoid"])
+    def test_fuzz_camera_walk(self, kind):
         if not native.available():
             pytest.skip("native runtime unavailable")
         from bevy_terrain_tpu.config import TerrainConfig, TerrainViewConfig
@@ -168,8 +168,14 @@ class TestNativeRequestScan:
         from bevy_terrain_tpu.terrain_data.tile_tree import TileTree
 
         rng = np.random.default_rng(17)
-        if spherical:
+        spherical = kind != "planar"
+        if kind == "sphere":
             model = TerrainModel.sphere(np.array([10.0, -5.0, 2.0]), 1000.0, 0.0, 50.0)
+        elif kind == "ellipsoid":
+            # distinct axes exercise the anisotropic world transform in the
+            # C++ slot_world (the normal path uses the inverse-transpose)
+            model = TerrainModel.ellipsoid(
+                np.array([10.0, -5.0, 2.0]), 1000.0, 940.0, 0.0, 50.0)
         else:
             model = TerrainModel.planar(np.array([3.0, -100.0, 7.0]), 1000.0, 0.0, 250.0)
         config = TerrainConfig(lod_count=5, model=model, atlas_size=64, path="x")
