@@ -46,7 +46,9 @@ class TerrainFrameOutput:
     """
 
     tiles: refinement.RefinementOutput
-    mesh: meshgen.MeshOutput
+    # GridMeshOutput on the fast path (per-tile vertex grids), MeshOutput
+    # (strip layout) on the exact fallback
+    mesh: "meshgen.GridMeshOutput | meshgen.MeshOutput"
     # per-vertex RGBA when shading is enabled (set_shading), grid path only
     colors: "jax.Array | None" = None
 
