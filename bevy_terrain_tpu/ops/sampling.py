@@ -175,3 +175,86 @@ def sample_normal(
         + normal * surface[..., 2:3]
     )
     return world / jnp.linalg.norm(world, axis=-1, keepdims=True)
+
+
+def query_heights(height_slab, uniforms: FrameUniforms, cfg: StaticTerrainConfig,
+                  positions, attachment_scale, attachment_offset):
+    """Batched device-side terrain height queries at world positions.
+
+    The CPU sampling API (terrain_data/mod.rs:267-307,
+    terrain_data/sampling_api.py) as ONE jitted op over (N, 3) query
+    points — the hook for collision/physics/placement services that need
+    thousands of heights per tick without a host round trip per point.
+    Exact chain parity: surface projection, blend(lod, ratio) from view
+    distance, tile-tree lookup at the blend lod, bilinear mip-0 sample,
+    lerp toward the coarser lod.
+
+    Gather-based (one lane per query): fine for N up to ~1e4 per call on
+    TPU (per-lane gathers are ~12.5 ns/element); batch larger workloads.
+    Returns (N,) f32 heights (world units).
+    """
+    from bevy_terrain_tpu.math.coordinate import (
+        FACE_UV_DEN, FACE_UV_NUM, pick_cube_face, sigmoid_warp_forward,
+    )
+    from bevy_terrain_tpu.ops import coords
+
+    positions = jnp.asarray(positions, jnp.float32)
+    m = uniforms.world_from_local
+    # inv(m3) = normal_matrix.T (normal_matrix is inv(m3).T by definition)
+    m3inv = uniforms.normal_matrix.T
+    rel = positions - m[:, 3]
+    local = rel @ m3inv.T  # (N, 3) local coordinates
+
+    if cfg.spherical:
+        unit = local / jnp.linalg.norm(local, axis=-1, keepdims=True)
+        side = pick_cube_face(unit, xp=jnp)
+        num = coords.take_side_rows(
+            jnp.asarray(np.asarray(FACE_UV_NUM, np.float32)), side,
+            cfg.side_count,
+        )  # (N, 2, 3)
+        den = coords.take_side_rows(
+            jnp.asarray(np.asarray(FACE_UV_DEN, np.float32)), side,
+            cfg.side_count,
+        )  # (N, 3)
+        numer = jnp.sum(num * unit[:, None, :], axis=-1)
+        denom = jnp.sum(den * unit, axis=-1)[:, None]
+        uv = sigmoid_warp_forward(numer / denom, xp=jnp)
+        surf_local = unit
+        normal = coords.normal_local_to_world(unit, uniforms.normal_matrix, True)
+    else:
+        side = jnp.zeros(positions.shape[:1], jnp.int32)
+        uv = jnp.clip(
+            jnp.stack([local[:, 0] + 0.5, local[:, 2] + 0.5], axis=-1), 0.0, 1.0
+        )
+        surf_local = jnp.stack(
+            [local[:, 0], jnp.zeros_like(local[:, 0]), local[:, 2]], axis=-1)
+        normal = coords.normal_local_to_world(
+            surf_local, uniforms.normal_matrix, False)
+
+    # surface point at the approximate height (mod.rs:272-276)
+    surface = coords.position_local_to_world(surf_local, m)
+    surface = surface + uniforms.approximate_height * normal
+    dist = jnp.linalg.norm(surface - uniforms.view_world_position, axis=-1)
+    blend_lod, blend_ratio = coords.compute_blend(dist, uniforms, cfg)
+
+    count = coords.tile_count(blend_lod).astype(jnp.float32)
+    scaled = jnp.minimum(uv * count[:, None], count[:, None] - 1e-6)
+    xy = scaled.astype(jnp.int32)
+    frac = scaled - xy.astype(jnp.float32)
+
+    idx, _, _, auv = coords.lookup_tile(
+        uniforms.entries, side, blend_lod, xy, frac, blend_lod, cfg, lod_offset=0
+    )
+    h = sample_height(
+        height_slab, idx, auv, uniforms, attachment_scale, attachment_offset
+    )
+    if cfg.blend:
+        idx2, _, _, auv2 = coords.lookup_tile(
+            uniforms.entries, side, blend_lod, xy, frac, blend_lod, cfg,
+            lod_offset=1,
+        )
+        h2 = sample_height(
+            height_slab, idx2, auv2, uniforms, attachment_scale, attachment_offset
+        )
+        h = jnp.where(blend_ratio > 0.0, h + (h2 - h) * blend_ratio, h)
+    return h

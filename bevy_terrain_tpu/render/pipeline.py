@@ -419,6 +419,44 @@ class Terrain:
         self.frame_index += 1
         return outputs
 
+    def query_heights(self, view_id, positions):
+        """Batched DEVICE-side terrain height queries (collision/physics/
+        placement): the CPU sampling API's exact chain as one jitted op
+        over (N, 3) world positions (ops/sampling.query_heights). Uses the
+        view's last-frame uniforms; call after update(). Returns (N,) f32.
+        """
+        from bevy_terrain_tpu.ops.sampling import query_heights as _qh
+
+        height = self.atlas.attachments[0]
+        u = self._last_uniforms[view_id]
+        pts = jax.numpy.asarray(np.asarray(positions, np.float32))
+        if hasattr(u, "ndim"):  # grid path stores the packed blob
+            return self._query_heights_blob_jit(
+                height.slabs[0], u, self._static_cfgs[view_id], pts,
+                height.config.scale, height.config.offset,
+            )
+        return self._query_heights_jit(
+            height.slabs[0], u, self._static_cfgs[view_id], pts,
+            height.config.scale, height.config.offset,
+        )
+
+    @staticmethod
+    @partial(jax.jit, static_argnums=(2, 4, 5))
+    def _query_heights_blob_jit(slab, uniform_blob, cfg, positions, scale, offset):
+        from bevy_terrain_tpu.ops.sampling import query_heights as _qh
+
+        uniforms = unpack_frame_uniforms(
+            uniform_blob, cfg.side_count, cfg.lod_count, cfg.tree_size
+        )
+        return _qh(slab, uniforms, cfg, positions, scale, offset)
+
+    @staticmethod
+    @partial(jax.jit, static_argnums=(2, 4, 5))
+    def _query_heights_jit(slab, uniforms, cfg, positions, scale, offset):
+        from bevy_terrain_tpu.ops.sampling import query_heights as _qh
+
+        return _qh(slab, uniforms, cfg, positions, scale, offset)
+
     def sample_attachment_grid(self, view_id, frame_output: TerrainFrameOutput,
                                attachment_index: int):
         """Sample an attachment (albedo, splat, ...) at the frame's morphed

@@ -369,3 +369,27 @@ class TestWireframe:
         di = (cb - cw)[:, ~border].mean()
         assert db > di > 0.0
         t.set_shading(enabled=True, lighting=True)
+
+
+class TestDeviceHeightQueriesGridPath:
+    def test_blob_uniform_branch(self, shaded_terrain):
+        """query_heights must also work on the grid/fused path, where the
+        view's last uniforms are the packed blob (unpacked in-jit)."""
+        t, view, _ = shaded_terrain
+        assert t.use_grid_mesh
+        from bevy_terrain_tpu.terrain_data.sampling_api import sample_height
+
+        rng = np.random.default_rng(3)
+        pts = np.stack([
+            rng.uniform(-450, 450, 32),
+            np.zeros(32),
+            rng.uniform(-450, 450, 32),
+        ], axis=-1)
+        got = np.asarray(t.query_heights("cam", pts))
+        want = np.array([
+            sample_height(t.tile_trees["cam"], t.atlas, p) for p in pts
+        ])
+        np.testing.assert_allclose(got, want, atol=0.3)
+        # ramp field: height = (0.25 + 0.5 * u) * 100
+        u = pts[:, 0] / 1000.0 + 0.5
+        np.testing.assert_allclose(got, (0.25 + 0.5 * u) * 100.0, atol=1.0)

@@ -173,6 +173,22 @@ class TestSphericalStreaming:
         err = np.abs(radii - expect)
         assert np.median(err) < 2.0, float(np.median(err))
 
+        # device-side height queries through the cube-sphere branch must
+        # match the CPU sampling API at surface points around the view
+        from bevy_terrain_tpu.terrain_data.sampling_api import sample_height
+
+        rng = np.random.default_rng(5)
+        d = rng.normal(size=(24, 3))
+        d[:, 2] = np.abs(d[:, 2]) + 1.0  # near-side hemisphere (streamed)
+        pts = d / np.linalg.norm(d, axis=-1, keepdims=True) * (R + 10.0)
+        got = np.asarray(terrain.query_heights("cam", pts))
+        want = np.array([
+            sample_height(terrain.tile_trees["cam"], terrain.atlas, p)
+            for p in pts
+        ])
+        np.testing.assert_allclose(got, want, atol=0.5)
+        assert np.std(got) > 0.5  # real field, not constant
+
 
 class TestMultiViewSharding:
     def test_multi_view_frame_step_on_virtual_mesh(self):
@@ -320,3 +336,26 @@ class TestEllipsoidDepth:
         # band-limited lod-2 data sampled by deep geometry (smooth field)
         assert np.median(errs) < 40.0, float(np.median(errs))
         assert np.percentile(errs, 90) < 150.0, float(np.percentile(errs, 90))
+
+
+class TestDeviceHeightQueries:
+    def test_matches_cpu_sampling_api(self, terrain):
+        """Terrain.query_heights (one jitted op over N points) must match
+        the CPU sampling chain point for point on a streamed frame."""
+        view = np.array([50.0, 80.0, -120.0])
+        _settle(terrain, view)
+        from bevy_terrain_tpu.terrain_data.sampling_api import sample_height
+
+        rng = np.random.default_rng(9)
+        pts = np.stack([
+            rng.uniform(-480, 480, 64),
+            np.zeros(64),
+            rng.uniform(-480, 480, 64),
+        ], axis=-1)
+        got = np.asarray(terrain.query_heights("camera", pts))
+        want = np.array([
+            sample_height(terrain.tile_trees["camera"], terrain.atlas, p)
+            for p in pts
+        ])
+        np.testing.assert_allclose(got, want, atol=0.35)
+        assert np.abs(got).max() > 0.5  # real terrain, not zeros
