@@ -64,6 +64,27 @@ class TerrainModelApproximation:
         """Reference terrain_model.rs:263-360 (analytic derivative chain)."""
         view_world_position = np.asarray(view_world_position, np.float64)
         origin_count = float(1 << origin_lod)
+
+        from bevy_terrain_tpu import native
+
+        if model.kind == "spherical" and native.available():
+            # C++ full path for true spheres (tr_taylor_from_world): face
+            # pick + warp + 6-side projection + derivative chain, one call
+            # (~0.26 ms/frame of host numpy -> ~5 us); ellipsoids keep the
+            # host bisection projector below. Fuzz-tested in test_native.py.
+            m = np.asarray(model.world_from_local, np.float64)
+            lm = np.asarray(model.local_from_world, np.float64)
+            oxy, ouv, co = native.taylor_from_world(
+                view_world_position, m[:3, :4], lm[:3, :4], origin_count
+            )
+            return TerrainModelApproximation(
+                origin_lod=origin_lod,
+                approximate_height=float(approximate_height),
+                origin_xy=oxy, origin_uv=ouv,
+                c=co[0], c_s=co[1], c_t=co[2],
+                c_ss=co[3], c_st=co[4], c_tt=co[5],
+            )
+
         view_coordinate = Coordinate.from_world_position(view_world_position, model)
 
         # vectorized over all 6 sides at once (same math as the reference's
@@ -95,6 +116,24 @@ class TerrainModelApproximation:
                 origin_xy=origin_xy,
                 origin_uv=origin_uv,
                 c=zero, c_s=zero, c_t=zero, c_ss=zero, c_st=zero, c_tt=zero,
+            )
+
+        from bevy_terrain_tpu import native
+
+        if native.available():
+            # C++ fast path (terrain_runtime.cpp tr_taylor_spherical): the
+            # same f64 chain as below without the ~0.2 ms/frame of
+            # small-array numpy overhead; fuzz-tested in test_native.py
+            m3x4 = np.asarray(model.world_from_local, np.float64)[:3, :4]
+            oxy, ouv, co = native.taylor_spherical(
+                uv, view_world_position, m3x4, origin_count
+            )
+            return TerrainModelApproximation(
+                origin_lod=origin_lod,
+                approximate_height=float(approximate_height),
+                origin_xy=oxy, origin_uv=ouv,
+                c=co[0], c_s=co[1], c_t=co[2],
+                c_ss=co[3], c_st=co[4], c_tt=co[5],
             )
 
         s = uv[:, 0]

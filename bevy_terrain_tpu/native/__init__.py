@@ -83,6 +83,17 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         i32p, i32p, f64p, i64p, u8p, i64p, i64p, i32p, i32p,
     ]
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.tr_taylor_spherical.argtypes = [
+        f64p, f64p, f64p, ctypes.c_double, i32p, f32p, f32p,
+    ]
+    lib.tr_taylor_from_world.argtypes = [
+        f64p, f64p, f64p, ctypes.c_double, i32p, f32p, f32p,
+    ]
+    lib.tr_sample_bilinear.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, f64p,
+    ]
     _lib = lib
     return lib
 
@@ -255,3 +266,69 @@ class NativeIoPool:
             size = int(sizes[i])
             out.append((job_id, None if size < 0 else size, buf))
         return out
+
+
+_DTYPE_CODES = {np.dtype(np.uint8): 0, np.dtype(np.uint16): 1,
+                np.dtype(np.float32): 2}
+
+
+def taylor_spherical(uv: np.ndarray, view: np.ndarray, m3x4: np.ndarray,
+                     origin_count: float):
+    """Native per-view Taylor chain (terrain_runtime.cpp tr_taylor_spherical).
+
+    ``uv`` (6, 2) f64 view uv projected onto every side. Returns
+    (origin_xy (6,2) i32, origin_uv (6,2) f32, coeffs (6, 6, 3) f32 ordered
+    c, c_s, c_t, c_ss, c_st, c_tt). Twin of the numpy chain in
+    math/approximation.py — fuzz-tested in test_native.py.
+    """
+    lib = _load()
+    assert lib is not None
+    uv = np.ascontiguousarray(uv, np.float64)
+    view = np.ascontiguousarray(view, np.float64)
+    m3x4 = np.ascontiguousarray(m3x4, np.float64)
+    origin_xy = np.empty((6, 2), np.int32)
+    origin_uv = np.empty((6, 2), np.float32)
+    coeffs = np.empty((6, 6, 3), np.float32)
+    lib.tr_taylor_spherical(
+        _f64p(uv), _f64p(view), _f64p(m3x4), float(origin_count),
+        _i32p(origin_xy), origin_uv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        coeffs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return origin_xy, origin_uv, coeffs
+
+
+def sample_bilinear(data: np.ndarray, uv, max_value: float) -> np.ndarray:
+    """Native single-point bilinear tap (terrain_runtime.cpp
+    tr_sample_bilinear); twin of attachment.sample_bilinear_host for one uv.
+    ``data`` (size, size, C) C-contiguous u8/u16/f32. Returns (4,) f64."""
+    lib = _load()
+    assert lib is not None
+    code = _DTYPE_CODES[data.dtype]
+    out = np.empty(4, np.float64)
+    lib.tr_sample_bilinear(
+        data.ctypes.data, data.shape[0], data.shape[2], code,
+        float(max_value), float(uv[0]), float(uv[1]), _f64p(out),
+    )
+    return out
+
+
+def taylor_from_world(view: np.ndarray, m3x4: np.ndarray, lm3x4: np.ndarray,
+                      origin_count: float):
+    """Full native Taylor entry for TRUE spheres (tr_taylor_from_world):
+    world view position -> face pick + warp + 6-side projection + chain.
+    ``lm3x4`` = local_from_world (3, 4) f64. Same returns as
+    :func:`taylor_spherical`."""
+    lib = _load()
+    assert lib is not None
+    view = np.ascontiguousarray(view, np.float64)
+    m3x4 = np.ascontiguousarray(m3x4, np.float64)
+    lm3x4 = np.ascontiguousarray(lm3x4, np.float64)
+    origin_xy = np.empty((6, 2), np.int32)
+    origin_uv = np.empty((6, 2), np.float32)
+    coeffs = np.empty((6, 6, 3), np.float32)
+    lib.tr_taylor_from_world(
+        _f64p(view), _f64p(m3x4), _f64p(lm3x4), float(origin_count),
+        _i32p(origin_xy), origin_uv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        coeffs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return origin_xy, origin_uv, coeffs

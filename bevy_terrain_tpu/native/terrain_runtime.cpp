@@ -510,4 +510,210 @@ int64_t tr_io_poll(void *p, int64_t *ids, int64_t *sizes, int64_t cap) {
   return static_cast<IoPool *>(p)->poll(ids, sizes, cap);
 }
 
+// ---------------------------------------------------------------------------
+// Per-view second-order Taylor series of the cube-sphere surface
+// (math/approximation.py::TerrainModelApproximation.compute, the behavioral
+// twin of the reference's terrain_model.rs:263-360 analytic chain). The
+// vectorized-numpy version costs ~0.22 ms/frame in small-array overhead;
+// this is the same f64 math as scalar loops over the 6 sides (~2 us).
+//
+// Inputs: uv (6x2 f64, view uv already projected onto every side), view
+// world position (3 f64), m = world_from_local (3x4 row-major f64),
+// origin_count = 2^origin_lod. Outputs: origin_xy (6x2 i32), origin_uv
+// (6x2 f32), coeffs (6 coeff kinds x 6 sides x 3 f32) ordered
+// c, c_s, c_t, c_ss (pre-halved), c_st, c_tt (pre-halved).
+// ---------------------------------------------------------------------------
+
+void tr_taylor_spherical(const double *uv, const double *view, const double *m,
+                         double origin_count, int32_t *origin_xy,
+                         float *origin_uv, float *coeffs) {
+  // SIDE_MATRICES (approximation.py:23-35): shuffle the (a, b, c) basis
+  // into cube xyz, column-major source -> stored here row-major.
+  static constexpr double kTaylorMats[6][3][3] = {
+      {{-1, 0, 0}, {0, 0, -1}, {0, 1, 0}},
+      {{0, 1, 0}, {0, 0, -1}, {1, 0, 0}},
+      {{0, 1, 0}, {1, 0, 0}, {0, 0, 1}},
+      {{1, 0, 0}, {0, -1, 0}, {0, 0, 1}},
+      {{0, 0, 1}, {0, -1, 0}, {-1, 0, 0}},
+      {{0, 0, 1}, {-1, 0, 0}, {0, 1, 0}},
+  };
+  for (int side = 0; side < 6; ++side) {
+    const double s = uv[2 * side + 0], t = uv[2 * side + 1];
+    for (int k = 0; k < 2; ++k) {
+      const double scaled = uv[2 * side + k] * origin_count;
+      origin_xy[2 * side + k] = static_cast<int32_t>(static_cast<int64_t>(scaled));
+      double r = std::fmod(scaled, 1.0);
+      if (r < 0.0) r += 1.0;  // numpy % semantics
+      origin_uv[2 * side + k] = static_cast<float>(r);
+    }
+
+    // u(s) = (2s-1)/sqrt(1-4Cs(s-1)), v(t) likewise, + derivatives
+    const double ud = std::sqrt(1.0 - 4.0 * kCSqr * s * (s - 1.0));
+    const double u = (2.0 * s - 1.0) / ud;
+    const double u_ds = 2.0 * (kCSqr + 1.0) / (ud * ud * ud);
+    const double u_dss =
+        12.0 * kCSqr * (kCSqr + 1.0) * (2.0 * s - 1.0) / (ud * ud * ud * ud * ud);
+    const double vd = std::sqrt(1.0 - 4.0 * kCSqr * t * (t - 1.0));
+    const double v = (2.0 * t - 1.0) / vd;
+    const double v_dt = 2.0 * (kCSqr + 1.0) / (vd * vd * vd);
+    const double v_dtt =
+        12.0 * kCSqr * (kCSqr + 1.0) * (2.0 * t - 1.0) / (vd * vd * vd * vd * vd);
+
+    // l = sqrt(1 + u^2 + v^2) and derivatives
+    const double l = std::sqrt(1.0 + u * u + v * v);
+    const double l3 = l * l * l;
+    const double l_ds = u * u_ds / l;
+    const double l_dt = v * v_dt / l;
+    const double l_dss = (u * u_dss * l * l + (v * v + 1.0) * u_ds * u_ds) / l3;
+    const double l_dst = -(u * v * u_ds * v_dt) / l3;
+    const double l_dtt = (v * v_dtt * l * l + (u * u + 1.0) * v_dt * v_dt) / l3;
+
+    // quotient-rule chains for (a, b, c) = (1, u, v)/l scaled by powers of l
+    const double abc[6][3] = {
+        {1.0, u, v},  // value (power 1)
+        {-l_ds, -u * l_ds + l * u_ds, -v * l_ds},  // d/ds (power 2)
+        {-l_dt, -u * l_dt, -v * l_dt + l * v_dt},  // d/dt (power 2)
+        {2.0 * l_ds * l_ds - l * l_dss,
+         2.0 * u * l_ds * l_ds - l * (2.0 * u_ds * l_ds + u * l_dss) +
+             u_dss * l * l,
+         2.0 * v * l_ds * l_ds - l * v * l_dss},  // d2/ds2 (power 3)
+        {2.0 * l_ds * l_dt - l * l_dst,
+         2.0 * u * l_ds * l_dt - l * (u_ds * l_dt + u * l_dst),
+         2.0 * v * l_ds * l_dt - l * (v_dt * l_ds + v * l_dst)},  // d2/dsdt
+        {2.0 * l_dt * l_dt - l * l_dtt,
+         2.0 * u * l_dt * l_dt - l * u * l_dtt,
+         2.0 * v * l_dt * l_dt - l * (2.0 * v_dt * l_dt + v * l_dtt) +
+             v_dtt * l * l},  // d2/dt2 (power 3)
+    };
+    static constexpr int kPower[6] = {1, 2, 2, 3, 3, 3};
+    static constexpr double kScale[6] = {1.0, 1.0, 1.0, 0.5, 1.0, 0.5};
+    for (int k = 0; k < 6; ++k) {
+      double rot[3];
+      for (int i = 0; i < 3; ++i) {
+        rot[i] = kTaylorMats[side][i][0] * abc[k][0] +
+                 kTaylorMats[side][i][1] * abc[k][1] +
+                 kTaylorMats[side][i][2] * abc[k][2];
+      }
+      double inv = 1.0;
+      for (int p = 0; p < kPower[k]; ++p) inv /= l;
+      for (int i = 0; i < 3; ++i) rot[i] *= inv;
+      for (int i = 0; i < 3; ++i) {
+        double w = m[4 * i + 0] * rot[0] + m[4 * i + 1] * rot[1] +
+                   m[4 * i + 2] * rot[2];
+        if (k == 0) w += m[4 * i + 3] - view[i];  // c = p - view
+        coeffs[(k * 6 + side) * 3 + i] = static_cast<float>(kScale[k] * w);
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Full Taylor entry for TRUE spheres: world view position -> cube-sphere
+// coordinate (coordinate.py::Coordinate.from_world_position, the twin of
+// coordinate.rs:69-108) -> projection onto all 6 faces
+// (project_uv_to_side, coordinate.rs:134-151) -> derivative chain above.
+// Ellipsoids keep the host bisection projector and call tr_taylor_spherical
+// with precomputed uv. lm = local_from_world (3x4 row-major f64).
+// ---------------------------------------------------------------------------
+
+void tr_taylor_from_world(const double *view, const double *m,
+                          const double *lm, double origin_count,
+                          int32_t *origin_xy, float *origin_uv,
+                          float *coeffs) {
+  double local[3];
+  for (int i = 0; i < 3; ++i) {
+    local[i] = lm[4 * i + 0] * view[0] + lm[4 * i + 1] * view[1] +
+               lm[4 * i + 2] * view[2] + lm[4 * i + 3];
+  }
+  const double inv = 1.0 / std::sqrt(local[0] * local[0] + local[1] * local[1] +
+                                     local[2] * local[2]);
+  for (int i = 0; i < 3; ++i) local[i] *= inv;
+
+  // face pick (coordinate.py::pick_cube_face, coordinate.rs:76-94)
+  const double x = local[0], y = local[1], z = local[2];
+  const double ax = std::fabs(x), ay = std::fabs(y), az = std::fabs(z);
+  int side;
+  if (ax > ay && ax > az) side = x < 0.0 ? 0 : 3;
+  else if (az > ay) side = z > 0.0 ? 1 : 4;
+  else side = y > 0.0 ? 2 : 5;
+
+  // raw face uv tables (coordinate.py FACE_UV_NUM/DEN)
+  static constexpr double kNum[6][2][3] = {
+      {{0, 0, -1}, {0, 1, 0}},  {{1, 0, 0}, {0, -1, 0}},
+      {{1, 0, 0}, {0, 0, 1}},   {{0, -1, 0}, {0, 0, 1}},
+      {{0, 1, 0}, {-1, 0, 0}},  {{0, 0, -1}, {-1, 0, 0}},
+  };
+  static constexpr double kDen[6][3] = {
+      {1, 0, 0}, {0, 0, 1}, {0, 1, 0}, {1, 0, 0}, {0, 0, 1}, {0, 1, 0},
+  };
+  const double den = kDen[side][0] * x + kDen[side][1] * y + kDen[side][2] * z;
+  double uvc[2];
+  for (int k = 0; k < 2; ++k) {
+    const double raw = (kNum[side][k][0] * x + kNum[side][k][1] * y +
+                        kNum[side][k][2] * z) / den;
+    // sigmoid forward warp (coordinate.rs:96-97)
+    const double w = raw * std::sqrt((1.0 + kCSqr) / (1.0 + kCSqr * raw * raw));
+    uvc[k] = 0.5 * w + 0.5;
+  }
+
+  // project onto every face: SideInfo codes F0=0 F1=1 PS=2 PT=3
+  // (coordinate.py _EVEN_LIST/_ODD_LIST, coordinate.rs:19-52)
+  static constexpr int kEven[6][2] = {{2, 3}, {0, 3}, {0, 2},
+                                      {3, 2}, {3, 0}, {2, 0}};
+  static constexpr int kOdd[6][2] = {{2, 3}, {2, 1}, {3, 1},
+                                     {3, 2}, {1, 2}, {1, 3}};
+  double uv6[12];
+  const double cand[4] = {0.0, 1.0, uvc[0], uvc[1]};
+  for (int other = 0; other < 6; ++other) {
+    const int idx = (6 + other - side) % 6;
+    const int *info = (side % 2 == 0) ? kEven[idx] : kOdd[idx];
+    uv6[2 * other + 0] = cand[info[0]];
+    uv6[2 * other + 1] = cand[info[1]];
+  }
+  tr_taylor_spherical(uv6, view, m, origin_count, origin_xy, origin_uv, coeffs);
+}
+
+// ---------------------------------------------------------------------------
+// Single-point CPU bilinear attachment tap
+// (terrain_data/attachment.py::sample_bilinear_host, the twin of the
+// reference's AttachmentData::sample, terrain_data/mod.rs:221-264).
+// uv already border-inset (scale/offset applied by the caller). dtype:
+// 0 = u8, 1 = u16, 2 = f32. Writes 4 doubles (padded like the Vec4).
+// ---------------------------------------------------------------------------
+
+void tr_sample_bilinear(const void *data, int32_t size, int32_t channels,
+                        int32_t dtype, double max_value, double u, double v,
+                        double *out4) {
+  const double fx0 = u * size - 0.5, fy0 = v * size - 0.5;
+  const double bx = std::floor(fx0), by = std::floor(fy0);
+  const double fx = fx0 - bx, fy = fy0 - by;
+  auto texel = [&](int64_t ix, int64_t iy, double *t4) {
+    ix = ix < 0 ? 0 : (ix >= size ? size - 1 : ix);
+    iy = iy < 0 ? 0 : (iy >= size ? size - 1 : iy);
+    const int64_t o = (iy * size + ix) * channels;
+    for (int c = 0; c < 4; ++c) {
+      if (c >= channels) {
+        t4[c] = 0.0;
+        continue;
+      }
+      double raw;
+      if (dtype == 0) raw = static_cast<const uint8_t *>(data)[o + c];
+      else if (dtype == 1) raw = static_cast<const uint16_t *>(data)[o + c];
+      else raw = static_cast<const float *>(data)[o + c];
+      t4[c] = raw / max_value;
+    }
+  };
+  double v00[4], v10[4], v01[4], v11[4];
+  const int64_t ix = static_cast<int64_t>(bx), iy = static_cast<int64_t>(by);
+  texel(ix, iy, v00);
+  texel(ix + 1, iy, v10);
+  texel(ix, iy + 1, v01);
+  texel(ix + 1, iy + 1, v11);
+  for (int c = 0; c < 4; ++c) {  // reference lerp order: y then x
+    const double left = v00[c] + (v01[c] - v00[c]) * fy;
+    const double right = v10[c] + (v11[c] - v10[c]) * fy;
+    out4[c] = left + (right - left) * fx;
+  }
+}
+
 }  // extern "C"

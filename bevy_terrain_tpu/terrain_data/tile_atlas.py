@@ -40,6 +40,7 @@ from bevy_terrain_tpu.formats.tc import TC
 from bevy_terrain_tpu.math.coordinate import TileCoordinate
 from bevy_terrain_tpu.ops.patch_sampling import blocks_from_tile, make_patch_plan
 from bevy_terrain_tpu.terrain_data import attachment as attachment_io
+from bevy_terrain_tpu import native
 
 INVALID_ATLAS_INDEX = -1
 INVALID_LOD = -1
@@ -240,8 +241,14 @@ class AtlasAttachment:
         if atlas_index == INVALID_ATLAS_INDEX or self.data[atlas_index] is None:
             return np.zeros(4)
         uv = np.asarray(atlas_uv) * self.config.scale + self.config.offset
+        data = self.data[atlas_index]
+        if np.ndim(uv) == 1 and native.available() and data.flags.c_contiguous:
+            # C++ single-tap fast path (terrain_runtime.cpp
+            # tr_sample_bilinear): identical math, ~100x less per-call
+            # overhead than the numpy chain for scalar queries
+            return native.sample_bilinear(data, uv, self.config.format.max_value)
         return attachment_io.sample_bilinear_host(
-            self.data[atlas_index], uv, self.config.format.max_value
+            data, uv, self.config.format.max_value
         )
 
 

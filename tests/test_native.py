@@ -205,3 +205,99 @@ class TestNativeRequestScan:
             )
             assert key_set(t_native.released_tiles) == key_set(t_numpy.released_tiles), step
             assert key_set(t_native.requested_tiles) == key_set(t_numpy.requested_tiles), step
+
+
+class TestNativeTaylor:
+    def test_matches_numpy_chain(self):
+        """tr_taylor_spherical vs the numpy derivative chain, random views."""
+        if not native.available():
+            pytest.skip("native runtime unavailable")
+        from bevy_terrain_tpu import TerrainModel
+        from bevy_terrain_tpu.math import approximation as approx_mod
+        from bevy_terrain_tpu.math.approximation import TerrainModelApproximation
+        from bevy_terrain_tpu.math.coordinate import Coordinate, project_uv_to_side
+
+        rng = np.random.default_rng(11)
+        for _ in range(20):
+            R = 6_371_000.0 * rng.uniform(0.4, 2.0)
+            center = rng.normal(0, 1e5, 3)
+            model = TerrainModel.sphere(center, R, 0.0, 9000.0)
+            d = rng.normal(size=3)
+            d /= np.linalg.norm(d)
+            view = center + d * R * rng.uniform(1.0001, 1.5)
+            lod = int(rng.integers(2, 14))
+
+            vc = Coordinate.from_world_position(np.asarray(view, np.float64), model)
+            uv = project_uv_to_side(
+                np.full(6, vc.side, np.int32), np.arange(6, dtype=np.int32),
+                np.broadcast_to(np.asarray(vc.uv, np.float64), (6, 2)),
+            )
+            m = np.asarray(model.world_from_local, np.float64)[:3, :4]
+            oxy, ouv, co = native.taylor_spherical(
+                uv, np.asarray(view, np.float64), m, float(1 << lod)
+            )
+            # numpy oracle (force the pure-python branch)
+            avail, native.available = native.available, lambda: False
+            try:
+                want = TerrainModelApproximation.compute(model, view, lod, 1000.0)
+            finally:
+                native.available = avail
+            np.testing.assert_array_equal(oxy, want.origin_xy)
+            np.testing.assert_allclose(ouv, want.origin_uv, atol=1e-6)
+            for i, name in enumerate(["c", "c_s", "c_t", "c_ss", "c_st", "c_tt"]):
+                np.testing.assert_allclose(
+                    co[i], getattr(want, name), rtol=1e-5, atol=1e-3, err_msg=name
+                )
+
+
+class TestNativeBilinear:
+    def test_matches_numpy_tap(self):
+        """tr_sample_bilinear vs attachment.sample_bilinear_host, all dtypes."""
+        if not native.available():
+            pytest.skip("native runtime unavailable")
+        from bevy_terrain_tpu.terrain_data.attachment import sample_bilinear_host
+
+        rng = np.random.default_rng(7)
+        cases = [
+            (rng.integers(0, 65535, (64, 64, 1)).astype(np.uint16), 65535.0),
+            (rng.integers(0, 255, (32, 32, 4)).astype(np.uint8), 255.0),
+            (rng.integers(0, 65535, (16, 16, 2)).astype(np.uint16), 65535.0),
+            (rng.random((48, 48, 1)).astype(np.float32), 1.0),
+        ]
+        for data, max_value in cases:
+            for _ in range(40):
+                uv = rng.uniform(-0.2, 1.2, 2)
+                got = native.sample_bilinear(data, uv, max_value)
+                want = sample_bilinear_host(data, uv, max_value)
+                np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+    def test_full_path_from_world(self):
+        """tr_taylor_from_world (face pick + warp + projection + chain) vs
+        the numpy oracle through TerrainModelApproximation.compute."""
+        if not native.available():
+            pytest.skip("native runtime unavailable")
+        from bevy_terrain_tpu import TerrainModel
+        from bevy_terrain_tpu.math.approximation import TerrainModelApproximation
+
+        rng = np.random.default_rng(13)
+        for _ in range(20):
+            R = 6_371_000.0 * rng.uniform(0.4, 2.0)
+            center = rng.normal(0, 1e5, 3)
+            model = TerrainModel.sphere(center, R, 0.0, 9000.0)
+            d = rng.normal(size=3)
+            d /= np.linalg.norm(d)
+            view = center + d * R * rng.uniform(1.0001, 1.5)
+            lod = int(rng.integers(2, 14))
+            got = TerrainModelApproximation.compute(model, view, lod, 1000.0)
+            avail, native.available = native.available, lambda: False
+            try:
+                want = TerrainModelApproximation.compute(model, view, lod, 1000.0)
+            finally:
+                native.available = avail
+            np.testing.assert_array_equal(got.origin_xy, want.origin_xy)
+            np.testing.assert_allclose(got.origin_uv, want.origin_uv, atol=1e-6)
+            for name in ["c", "c_s", "c_t", "c_ss", "c_st", "c_tt"]:
+                np.testing.assert_allclose(
+                    getattr(got, name), getattr(want, name),
+                    rtol=1e-5, atol=1e-3, err_msg=name,
+                )
