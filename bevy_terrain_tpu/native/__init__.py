@@ -90,6 +90,11 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.tr_taylor_from_world.argtypes = [
         f64p, f64p, f64p, ctypes.c_double, i32p, f32p, f32p,
     ]
+    lib.tr_project_view_uv.argtypes = [f64p, f64p, f64p]
+    lib.tr_view_anchors.argtypes = [
+        f64p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, f32p,
+    ]
     lib.tr_sample_bilinear.argtypes = [
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_double, ctypes.c_double, ctypes.c_double, f64p,
@@ -332,3 +337,32 @@ def taylor_from_world(view: np.ndarray, m3x4: np.ndarray, lm3x4: np.ndarray,
         coeffs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return origin_xy, origin_uv, coeffs
+
+
+def project_view_uv(view: np.ndarray, lm3x4: np.ndarray) -> np.ndarray:
+    """Native spherical view-uv projection onto all 6 faces
+    (tr_project_view_uv). ``lm3x4`` = local_from_world (3, 4) f64.
+    Returns (6, 2) f64."""
+    lib = _load()
+    assert lib is not None
+    view = np.ascontiguousarray(view, np.float64)
+    lm3x4 = np.ascontiguousarray(lm3x4, np.float64)
+    uv6 = np.empty((6, 2), np.float64)
+    lib.tr_project_view_uv(_f64p(view), _f64p(lm3x4), _f64p(uv6))
+    return uv6
+
+
+def view_anchors(side_uv: np.ndarray, L: int, T: int,
+                 origins: np.ndarray, view_int: np.ndarray,
+                 view_frac: np.ndarray) -> None:
+    """Native per-(side, lod) tree anchors (tr_view_anchors); writes into
+    the preallocated (S, L, 2) outputs in place. Twin of
+    ops/tile_tree.py::compute_view_anchors' vector math."""
+    lib = _load()
+    assert lib is not None
+    S = origins.shape[0]
+    lib.tr_view_anchors(
+        _f64p(side_uv), S, int(L), int(T),
+        _i32p(origins), _i32p(view_int),
+        view_frac.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )

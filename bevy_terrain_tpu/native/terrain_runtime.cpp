@@ -616,10 +616,11 @@ void tr_taylor_spherical(const double *uv, const double *view, const double *m,
 // with precomputed uv. lm = local_from_world (3x4 row-major f64).
 // ---------------------------------------------------------------------------
 
-void tr_taylor_from_world(const double *view, const double *m,
-                          const double *lm, double origin_count,
-                          int32_t *origin_xy, float *origin_uv,
-                          float *coeffs) {
+// Spherical view coordinate projected onto all 6 faces: world -> unit
+// local -> face pick + sigmoid warp (coordinate.rs:69-108) -> per-face
+// projection (coordinate.rs:134-151). Shared by the Taylor entry and the
+// per-frame view-anchor computation (ops/tile_tree.py::compute_view_anchors).
+void tr_project_view_uv(const double *view, const double *lm, double *uv6) {
   double local[3];
   for (int i = 0; i < 3; ++i) {
     local[i] = lm[4 * i + 0] * view[0] + lm[4 * i + 1] * view[1] +
@@ -662,7 +663,6 @@ void tr_taylor_from_world(const double *view, const double *m,
                                       {3, 2}, {3, 0}, {2, 0}};
   static constexpr int kOdd[6][2] = {{2, 3}, {2, 1}, {3, 1},
                                      {3, 2}, {1, 2}, {1, 3}};
-  double uv6[12];
   const double cand[4] = {0.0, 1.0, uvc[0], uvc[1]};
   for (int other = 0; other < 6; ++other) {
     const int idx = (6 + other - side) % 6;
@@ -670,7 +670,45 @@ void tr_taylor_from_world(const double *view, const double *m,
     uv6[2 * other + 0] = cand[info[0]];
     uv6[2 * other + 1] = cand[info[1]];
   }
+}
+
+void tr_taylor_from_world(const double *view, const double *m,
+                          const double *lm, double origin_count,
+                          int32_t *origin_xy, float *origin_uv,
+                          float *coeffs) {
+  double uv6[12];
+  tr_project_view_uv(view, lm, uv6);
   tr_taylor_spherical(uv6, view, m, origin_count, origin_xy, origin_uv, coeffs);
+}
+
+// Per-(side, lod) tree origin + view tile coordinates for the wrapping
+// tile tree (ops/tile_tree.py::compute_view_anchors, the twin of
+// tile_tree.rs:175-191). uv6 = per-side view uv (S x 2, from
+// tr_project_view_uv for spheres or host math otherwise). Outputs
+// origins/view_tile_int (S*L*2 i32) and view_tile_frac (S*L*2 f32).
+void tr_view_anchors(const double *uv6, int32_t S, int32_t L, int32_t T,
+                     int32_t *origins, int32_t *view_int, float *view_frac) {
+  for (int side = 0; side < S; ++side) {
+    for (int lod = 0; lod < L; ++lod) {
+      const double count = static_cast<double>(1u << lod);
+      for (int k = 0; k < 2; ++k) {
+        double txy = uv6[2 * side + k] * count;
+        if (txy > count - 0.000001) txy = count - 0.000001;
+        // numpy round = half-to-even; std::round is half-away -> nearbyint
+        double org = std::nearbyint(txy - 0.5 * T);
+        const double max_org = count - T > 0.0 ? count - T : 0.0;
+        if (org < 0.0) org = 0.0;
+        if (org > max_org) org = max_org;
+        const int64_t o = (static_cast<int64_t>(side) * L + lod) * 2 + k;
+        origins[o] = static_cast<int32_t>(org);
+        const double fl = std::floor(txy);
+        view_int[o] = static_cast<int32_t>(fl);
+        double fr = std::fmod(txy, 1.0);
+        if (fr < 0.0) fr += 1.0;
+        view_frac[o] = static_cast<float>(fr);
+      }
+    }
+  }
 }
 
 // ---------------------------------------------------------------------------

@@ -301,3 +301,53 @@ class TestNativeBilinear:
                     getattr(got, name), getattr(want, name),
                     rtol=1e-5, atol=1e-3, err_msg=name,
                 )
+
+
+class TestNativeViewAnchors:
+    def test_matches_numpy_anchors(self):
+        """tr_project_view_uv + tr_view_anchors vs compute_view_anchors
+        across all three model kinds and random views."""
+        if not native.available():
+            pytest.skip("native runtime unavailable")
+        from bevy_terrain_tpu import TerrainModel, TerrainViewConfig
+        from bevy_terrain_tpu.ops.tile_tree import compute_view_anchors
+        from bevy_terrain_tpu.terrain_data.tile_tree import TileTree
+
+        class _FakeAtlas:
+            def __init__(self, model, lod_count):
+                self.model = model
+                self.lod_count = lod_count
+
+        rng = np.random.default_rng(17)
+        for trial in range(60):
+            kind = trial % 3
+            if kind == 0:
+                model = TerrainModel.planar(
+                    rng.normal(0, 100, 3), rng.uniform(100, 5000), 0.0, 100.0
+                )
+                view = np.asarray(rng.normal(0, 2000, 3))
+            elif kind == 1:
+                R = rng.uniform(1e3, 1e7)
+                c = rng.normal(0, 1e3, 3)
+                model = TerrainModel.sphere(c, R, 0.0, R * 0.01)
+                d = rng.normal(size=3)
+                d /= np.linalg.norm(d)
+                view = c + d * R * rng.uniform(1.0001, 2.0)
+            else:
+                A = rng.uniform(1e6, 1e7)
+                c = rng.normal(0, 1e3, 3)
+                model = TerrainModel.ellipsoid(c, A, A * 0.97, 0.0, 9000.0)
+                d = rng.normal(size=3)
+                d /= np.linalg.norm(d)
+                view = c + d * A * rng.uniform(1.001, 1.5)
+            L = int(rng.integers(2, 12))
+            T = int(rng.integers(2, 9))
+            tree = TileTree(
+                _FakeAtlas(model, L), TerrainViewConfig(tree_size=T)
+            )
+            tree.view_world_position = np.asarray(view, np.float64)
+            tree._compute_anchors_native()
+            o, i, f = compute_view_anchors(model, view, L, T)
+            np.testing.assert_array_equal(tree.origins, o)
+            np.testing.assert_array_equal(tree.view_tile_int, i)
+            np.testing.assert_allclose(tree.view_tile_frac, f, atol=1e-6)
