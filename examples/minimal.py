@@ -80,6 +80,10 @@ def main() -> None:
         terrain.tile_trees["camera"], terrain.atlas, np.array([120.0, 0.0, -80.0])
     )
     print(f"sample_height(120, -80) = {h:.2f} m")
+    hs = terrain.query_heights(
+        "camera", np.array([[120.0, 0.0, -80.0], [-50.0, 0.0, 200.0]])
+    )
+    print(f"device query_heights = {np.asarray(hs).round(2)} m")
     steady = np.median(times[len(times) // 2 :]) * 1e3
     print(f"steady-state frame: {steady:.2f} ms wall (host+device+stream)")
 

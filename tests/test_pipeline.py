@@ -359,3 +359,68 @@ class TestDeviceHeightQueries:
         ])
         np.testing.assert_allclose(got, want, atol=0.35)
         assert np.abs(got).max() > 0.5  # real terrain, not zeros
+
+
+class TestAsyncDispatchOverlap:
+    def test_update_returns_lazy_device_arrays(self, terrain):
+        """The frame-pipelining mechanism (PARITY: the reference's
+        extract/prepare overlap): Terrain.update dispatches the device step
+        asynchronously and returns jax Arrays, so the NEXT frame's host
+        prologue (request scan, residency, packing) runs while the device
+        executes. Quantified in bench.py's e2e diagnostic."""
+        import jax
+
+        view = np.array([50.0, 80.0, -120.0])
+        out1 = terrain.update({"camera": view})["camera"]
+        # device outputs are lazy jax arrays, not forced host copies
+        leaves = [out1.mesh.positions, out1.mesh.heights]
+        assert all(isinstance(x, jax.Array) for x in leaves)
+        # a second frame's host prologue + dispatch proceeds without
+        # synchronizing the first; both then materialize correctly
+        out2 = terrain.update({"camera": view + [10.0, 0.0, 0.0]})["camera"]
+        assert int(out1.tile_count) > 0 and int(out2.tile_count) > 0
+
+
+class TestDeviceHeightQueriesOffsetModel:
+    def test_translated_terrain(self, tmp_path):
+        """query_heights world->local must handle a terrain placed away
+        from the origin (examples/minimal.rs puts the terrain at y=-100)."""
+        from bevy_terrain_tpu.terrain_data.sampling_api import sample_height
+        from bevy_terrain_tpu.utils.synthetic import generate_planar_dataset
+
+        att = AttachmentConfig(
+            name="height", texture_size=64, border_size=2, mip_level_count=3,
+            format=AttachmentFormat.R16,
+        )
+        generate_planar_dataset("terrains/off", 4, att, root=str(tmp_path))
+        config = TerrainConfig(
+            lod_count=4,
+            model=TerrainModel.planar(
+                np.array([30.0, -100.0, -20.0]), SIZE, 0.0, MAX_HEIGHT
+            ),
+            atlas_size=128, path="terrains/off", attachments=(att,),
+            assets_root=str(tmp_path),
+        )
+        t = Terrain(config)
+        t.add_view("cam", TerrainViewConfig(tile_capacity=2048), queue_capacity=4096)
+        view = np.array([80.0, -20.0, -140.0])
+        for _ in range(40):
+            t.update({"cam": view})
+            if not t.atlas.state.to_load and not any(
+                a.loading for a in t.atlas.attachments
+            ):
+                break
+            time.sleep(0.01)
+        t.update({"cam": view})
+        rng = np.random.default_rng(4)
+        pts = np.stack([
+            30 + rng.uniform(-450, 450, 32),
+            np.full(32, -60.0),
+            -20 + rng.uniform(-450, 450, 32),
+        ], axis=-1)
+        got = np.asarray(t.query_heights("cam", pts))
+        want = np.array([
+            sample_height(t.tile_trees["cam"], t.atlas, p) for p in pts
+        ])
+        np.testing.assert_allclose(got, want, atol=0.35)
+        assert np.abs(got).max() > 0.5
