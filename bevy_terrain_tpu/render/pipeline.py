@@ -101,6 +101,8 @@ class Terrain:
         # shading config: None = vertex buffers only; set via set_shading()
         self._shade_opts = None
         self._last_uniforms = {}
+        self._last_cfgs = {}
+        self._adaptive = {}
         # freeze support (reference debug/mod.rs:186-192: the prepass is
         # skipped and the last tile list is re-drawn from the new camera)
         self.debug = None
@@ -232,11 +234,64 @@ class Terrain:
             tree.blend_range = new.blend_range
         self._frozen_tiles.pop(view_id, None)
 
+    def enable_adaptive_capacity(self, view_id, ladder=None,
+                                 headroom: float = 2.0) -> None:
+        """Adapt the frame step's tile_capacity to the live tile count.
+
+        The fused mesh kernel's cost is proportional to tile_capacity, not
+        to the tiles actually emitted (a 951-tile frame at capacity 8192
+        still pays the full ~1.9 ms) — see docs/perf_notes.md. This
+        respecializes the jitted step over a capacity ladder, choosing the
+        smallest rung >= headroom x the PREVIOUS frame's tile count. The
+        count reads back asynchronously (copy_to_host_async at dispatch,
+        harvested next frame) so no device sync stalls the loop. Each rung
+        compiles once (like the reference's pipeline specialization).
+        Transient overflow after a sudden tile-count spike is possible for
+        one frame and is surfaced loudly via TerrainFrameOutput.overflow;
+        the next frame climbs the ladder. Disabled while freeze debugging
+        pins a tile list (shapes must match the frozen tensors).
+        """
+        cap = self.view_configs[view_id].tile_capacity
+        if ladder is None:
+            ladder, c = [], cap
+            while c >= 1024:
+                ladder.append(c)
+                c //= 2
+        ladder = sorted({min(int(c), cap) for c in ladder} | {cap})
+        self._adaptive[view_id] = {
+            "ladder": ladder, "headroom": float(headroom),
+            "pending": None, "last_count": cap, "capacity": cap,
+        }
+
+    def disable_adaptive_capacity(self, view_id) -> None:
+        self._adaptive.pop(view_id, None)
+
+    def _adapted_cfg(self, view_id, frozen: bool) -> StaticTerrainConfig:
+        """The frame's static config: the capacity-ladder rung when
+        adaptive capacity is on (see enable_adaptive_capacity), else the
+        view's full config. Frozen frames pin the full capacity (the
+        frozen tile tensors' shapes must match)."""
+        cfg_s = self._static_cfgs[view_id]
+        ad = self._adaptive.get(view_id)
+        if ad is None or frozen:
+            return cfg_s
+        if ad["pending"] is not None:
+            ad["last_count"] = int(np.asarray(ad["pending"]))
+            ad["pending"] = None
+        want = ad["last_count"] * ad["headroom"]
+        cap = next((c for c in ad["ladder"] if c >= want), ad["ladder"][-1])
+        ad["capacity"] = cap
+        if cap != cfg_s.tile_capacity:
+            cfg_s = dataclasses.replace(cfg_s, tile_capacity=cap)
+        return cfg_s
+
     def remove_view(self, view_id) -> None:
         """Release every tile the view still holds, then drop it."""
         tree = self.tile_trees.pop(view_id)
         self.view_configs.pop(view_id)
         self._static_cfgs.pop(view_id)
+        self._adaptive.pop(view_id, None)
+        self._last_cfgs.pop(view_id, None)
         held = tree._collect(tree.tile_requested, tree.tile_xy)
         self.atlas.update(released_tiles=held)
 
@@ -363,7 +418,10 @@ class Terrain:
                     self.view_configs[view_id],
                     view_proj=view_projections.get(view_id),
                 )
-                cfg_s = self._static_cfgs[view_id]
+                cfg_s = self._adapted_cfg(view_id, frozen=(
+                    self.debug is not None and self.debug.freeze
+                    and view_id in self._frozen_tiles
+                ))
                 blob_dev = jax.numpy.asarray(blob)  # ONE transfer per frame
                 frozen = (
                     self.debug is not None and self.debug.freeze
@@ -393,6 +451,7 @@ class Terrain:
                     )
                     if self.debug is not None and self.debug.freeze:
                         self._frozen_tiles[view_id] = tiles
+                self._last_cfgs[view_id] = cfg_s
                 uniforms = blob_dev  # packed; unpacked inside jits
             else:
                 uniforms = make_frame_uniforms(
@@ -407,13 +466,20 @@ class Terrain:
                     view_proj=view_projections.get(view_id),
                 )
             if not self.use_grid_mesh:
+                cfg_s = self._adapted_cfg(view_id, frozen=False)
+                self._last_cfgs[view_id] = cfg_s
                 tiles, mesh = self._step(
                     height.slabs[0],
                     uniforms,
-                    cfg=self._static_cfgs[view_id],
+                    cfg=cfg_s,
                     attachment_scale=height.config.scale,
                     attachment_offset=height.config.offset,
                 )
+            ad = self._adaptive.get(view_id)
+            if ad is not None:
+                count = tiles.tile_count
+                count.copy_to_host_async()
+                ad["pending"] = count
             outputs[view_id] = TerrainFrameOutput(tiles=tiles, mesh=mesh, colors=colors)
             self._last_uniforms[view_id] = uniforms
         self.frame_index += 1
@@ -474,7 +540,7 @@ class Terrain:
             frame_output.tiles,
             frame_output.mesh.uvs,
             blob_dev,
-            self._static_cfgs[view_id],
+            self._last_cfgs.get(view_id, self._static_cfgs[view_id]),
             attachment.patch_plan,
             attachment.config.format.max_value,
             attachment.patch_plan == self.atlas.attachments[0].patch_plan,

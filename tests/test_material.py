@@ -393,3 +393,30 @@ class TestDeviceHeightQueriesGridPath:
         # ramp field: height = (0.25 + 0.5 * u) * 100
         u = pts[:, 0] / 1000.0 + 0.5
         np.testing.assert_allclose(got, (0.25 + 0.5 * u) * 100.0, atol=1.0)
+
+
+class TestAdaptiveCapacityGridPath:
+    def test_ladder_on_fused_path(self, shaded_terrain):
+        """The capacity ladder must also respecialize the grid/fused step
+        (and attachment sampling must follow the frame's adapted config)."""
+        t, _, _ = shaded_terrain
+        assert t.use_grid_mesh
+        view = np.array([0.0, 900.0, 0.0])  # high camera: few coarse tiles
+        old_morph = t.view_configs["cam"].morph_distance
+        t.tune_view("cam", morph_distance=0.5)  # shallow subdivision
+        t.update({"cam": view})
+        full = t.update({"cam": view})["cam"]
+        n_full = int(np.asarray(full.tiles.tile_count))
+        assert n_full * 2 <= 128, n_full  # the ladder CAN step down
+        t.enable_adaptive_capacity("cam", ladder=[64, 128, 256])
+        try:
+            outs = [t.update({"cam": view})["cam"] for _ in range(3)]
+            ad = t._adaptive["cam"]
+            assert ad["capacity"] < 256
+            last = outs[-1]
+            assert int(np.asarray(last.overflow)) == 0
+            assert int(np.asarray(last.tiles.tile_count)) == n_full
+            assert last.mesh.heights.shape[0] == ad["capacity"]
+        finally:
+            t.disable_adaptive_capacity("cam")
+            t.tune_view("cam", morph_distance=old_morph)

@@ -424,3 +424,41 @@ class TestDeviceHeightQueriesOffsetModel:
         ])
         np.testing.assert_allclose(got, want, atol=0.35)
         assert np.abs(got).max() > 0.5
+
+
+class TestAdaptiveCapacity:
+    def test_ladder_adapts_and_outputs_match(self, terrain):
+        """enable_adaptive_capacity: the step respecializes to the smallest
+        ladder rung covering 2x the previous frame's tile count; the tile
+        set is identical to the full-capacity frame and overflow stays 0.
+        A high camera keeps the tile count small (the fixture's near camera
+        genuinely demands more than the smaller rungs)."""
+        view = np.array([0.0, 900.0, 0.0])
+        _settle(terrain, view)
+        full = terrain.update({"camera": view})["camera"]
+
+        def ids(out):
+            n = int(np.asarray(out.tiles.tile_count))
+            return {
+                (int(l), int(x), int(y))
+                for l, (x, y) in zip(
+                    np.asarray(out.tiles.tile_lod[:n]),
+                    np.asarray(out.tiles.tile_xy[:n]),
+                )
+            }
+
+        full_ids = ids(full)
+
+        terrain.enable_adaptive_capacity("camera", ladder=[256, 512, 1024, 2048])
+        try:
+            # frame 1 runs at max capacity (no count yet), then adapts
+            outs = [terrain.update({"camera": view})["camera"] for _ in range(3)]
+            ad = terrain._adaptive["camera"]
+            assert ad["capacity"] < 2048, ad  # ladder actually stepped down
+            last = outs[-1]
+            assert int(np.asarray(last.overflow)) == 0
+            assert ids(last) == full_ids
+            # shapes follow the adapted capacity
+            assert last.mesh.heights.shape[0] == ad["capacity"]
+        finally:
+            terrain.disable_adaptive_capacity("camera")
