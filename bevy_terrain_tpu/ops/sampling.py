@@ -177,21 +177,15 @@ def sample_normal(
     return world / jnp.linalg.norm(world, axis=-1, keepdims=True)
 
 
-def query_heights(height_slab, uniforms: FrameUniforms, cfg: StaticTerrainConfig,
-                  positions, attachment_scale, attachment_offset):
-    """Batched device-side terrain height queries at world positions.
+def _query_locate(uniforms: FrameUniforms, cfg: StaticTerrainConfig,
+                  positions):
+    """World query points -> (side, blend_lod, blend_ratio, xy, frac).
 
-    The CPU sampling API (terrain_data/mod.rs:267-307,
-    terrain_data/sampling_api.py) as ONE jitted op over (N, 3) query
-    points — the hook for collision/physics/placement services that need
-    thousands of heights per tick without a host round trip per point.
-    Exact chain parity: surface projection, blend(lod, ratio) from view
-    distance, tile-tree lookup at the blend lod, bilinear mip-0 sample,
-    lerp toward the coarser lod.
-
-    Gather-based (one lane per query): fine for N up to ~1e4 per call on
-    TPU (per-lane gathers are ~12.5 ns/element); batch larger workloads.
-    Returns (N,) f32 heights (world units).
+    The shared front half of the CPU sampling chain
+    (terrain_data/mod.rs:267-281): world-to-local, cube face pick +
+    sigmoid warp (spherical), surface projection at the approximate
+    height, blend(lod, ratio) from view distance, and the tree coordinate
+    at the blend lod.
     """
     from bevy_terrain_tpu.math.coordinate import (
         FACE_UV_DEN, FACE_UV_NUM, pick_cube_face, sigmoid_warp_forward,
@@ -241,20 +235,61 @@ def query_heights(height_slab, uniforms: FrameUniforms, cfg: StaticTerrainConfig
     scaled = jnp.minimum(uv * count[:, None], count[:, None] - 1e-6)
     xy = scaled.astype(jnp.int32)
     frac = scaled - xy.astype(jnp.float32)
+    return side, blend_lod, blend_ratio, xy, frac
 
-    idx, _, _, auv = coords.lookup_tile(
-        uniforms.entries, side, blend_lod, xy, frac, blend_lod, cfg, lod_offset=0
+
+def query_attachment(slab, uniforms: FrameUniforms, cfg: StaticTerrainConfig,
+                     positions, attachment_scale, attachment_offset,
+                     max_value: float):
+    """Batched device-side attachment queries at world positions.
+
+    ``sample_attachment`` (terrain_data/mod.rs:267-295) as one jitted op:
+    locate (see _query_locate), tile-tree lookup at the blend lod and the
+    coarser lod, bilinear sample of ``slab`` (mip 0), blend lerp. Returns
+    (N, C) normalized values in [0, 1].
+    """
+    from bevy_terrain_tpu.ops import coords
+
+    side, blend_lod, blend_ratio, xy, frac = _query_locate(
+        uniforms, cfg, positions
     )
-    h = sample_height(
-        height_slab, idx, auv, uniforms, attachment_scale, attachment_offset
-    )
-    if cfg.blend:
-        idx2, _, _, auv2 = coords.lookup_tile(
+
+    def tap(lod_offset):
+        idx, _, _, auv = coords.lookup_tile(
             uniforms.entries, side, blend_lod, xy, frac, blend_lod, cfg,
-            lod_offset=1,
+            lod_offset=lod_offset,
         )
-        h2 = sample_height(
-            height_slab, idx2, auv2, uniforms, attachment_scale, attachment_offset
+        a_uv = attachment_uv(auv, attachment_scale, attachment_offset)
+        return sample_bilinear(slab, idx, a_uv, max_value)
+
+    value = tap(0)
+    if cfg.blend:
+        value2 = tap(1)
+        value = jnp.where(
+            blend_ratio[:, None] > 0.0,
+            value + (value2 - value) * blend_ratio[:, None], value,
         )
-        h = jnp.where(blend_ratio > 0.0, h + (h2 - h) * blend_ratio, h)
-    return h
+    return value
+
+
+def query_heights(height_slab, uniforms: FrameUniforms, cfg: StaticTerrainConfig,
+                  positions, attachment_scale, attachment_offset):
+    """Batched device-side terrain height queries at world positions.
+
+    The CPU sampling API (terrain_data/mod.rs:267-307,
+    terrain_data/sampling_api.py) as ONE jitted op over (N, 3) query
+    points — the hook for collision/physics/placement services that need
+    thousands of heights per tick without a host round trip per point.
+    Exact chain parity: surface projection, blend(lod, ratio) from view
+    distance, tile-tree lookup at the blend lod, bilinear mip-0 sample,
+    lerp toward the coarser lod.
+
+    Gather-based (one lane per query): fine for N up to ~1e4 per call on
+    TPU (per-lane gathers are ~12.5 ns/element); batch larger workloads.
+    Returns (N,) f32 heights (world units).
+    """
+    h = query_attachment(
+        height_slab, uniforms, cfg, positions, attachment_scale,
+        attachment_offset, 65535.0,
+    )[:, 0]
+    return uniforms.min_height + (uniforms.max_height - uniforms.min_height) * h

@@ -506,6 +506,32 @@ class Terrain:
             height.config.scale, height.config.offset,
         )
 
+    def query_attachment(self, view_id, positions, attachment_index: int):
+        """Batched DEVICE-side attachment queries at (N, 3) world positions
+        (the CPU sample_attachment as one jitted op,
+        ops/sampling.query_attachment). Returns (N, C) values in [0, 1]."""
+        att = self.atlas.attachments[attachment_index]
+        u = self._last_uniforms[view_id]
+        pts = jax.numpy.asarray(np.asarray(positions, np.float32))
+        blob = hasattr(u, "ndim")
+        return self._query_attachment_jit(
+            att.slabs[0], u, self._static_cfgs[view_id], pts,
+            att.config.scale, att.config.offset,
+            att.config.format.max_value, blob,
+        )
+
+    @staticmethod
+    @partial(jax.jit, static_argnums=(2, 4, 5, 6, 7))
+    def _query_attachment_jit(slab, uniforms, cfg, positions, scale, offset,
+                              max_value, packed):
+        from bevy_terrain_tpu.ops.sampling import query_attachment as _qa
+
+        if packed:
+            uniforms = unpack_frame_uniforms(
+                uniforms, cfg.side_count, cfg.lod_count, cfg.tree_size
+            )
+        return _qa(slab, uniforms, cfg, positions, scale, offset, max_value)
+
     @staticmethod
     @partial(jax.jit, static_argnums=(2, 4, 5))
     def _query_heights_blob_jit(slab, uniform_blob, cfg, positions, scale, offset):

@@ -420,3 +420,60 @@ class TestAdaptiveCapacityGridPath:
         finally:
             t.disable_adaptive_capacity("cam")
             t.tune_view("cam", morph_distance=old_morph)
+
+
+class TestDeviceAttachmentQueries:
+    def test_albedo_points_match_cpu_chain(self, tmp_path):
+        """Terrain.query_attachment (device op) vs the CPU sample_attachment
+        per point on a streamed height+albedo terrain."""
+        from bevy_terrain_tpu import PreprocessDataset, Preprocessor
+        from bevy_terrain_tpu.formats.tiff import array_to_source
+        from bevy_terrain_tpu.models import albedo_attachment, height_attachment
+        from bevy_terrain_tpu.terrain_data import TileAtlas
+        from bevy_terrain_tpu.terrain_data.sampling_api import sample_attachment
+        from PIL import Image
+
+        n = 512
+        uv = (np.arange(n) + 0.5) / n
+        uu, vv = np.meshgrid(uv, uv, indexing="xy")
+        h = np.clip(0.4 + 0.3 * uu, 0.02, 1.0)
+        red = 0.1 + 0.85 * uu
+        rgba = np.stack([red, vv, 0.5 * np.ones_like(uu), np.ones_like(uu)], axis=-1)
+        array_to_source(h, tmp_path / "h.png")
+        Image.fromarray((rgba * 255).astype(np.uint8), "RGBA").save(tmp_path / "a.png")
+
+        config = TerrainConfig(
+            lod_count=2,
+            model=TerrainModel.planar(np.zeros(3), 1000.0, 0.0, 100.0),
+            atlas_size=16, path="t", assets_root=str(tmp_path / "assets"),
+            attachments=(height_attachment(), albedo_attachment()),
+        )
+        atlas = TileAtlas(config)
+        pre = Preprocessor(atlas).clear_attachment(0)
+        pre.preprocess_tile(PreprocessDataset(0, str(tmp_path / "h.png"), lod_range=range(0, 2)))
+        pre.preprocess_tile(PreprocessDataset(1, str(tmp_path / "a.png"), lod_range=range(0, 2)))
+        pre.run(verbose=False)
+
+        t = Terrain(config)
+        t.add_view("cam", TerrainViewConfig(tile_capacity=128), queue_capacity=512)
+        view = np.array([0.0, 120.0, 0.0])
+        for _ in range(30):
+            t.update({"cam": view})
+            if not t.atlas.state.to_load and not any(a.loading for a in t.atlas.attachments):
+                break
+            time.sleep(0.01)
+        t.update({"cam": view})
+
+        rng = np.random.default_rng(21)
+        pts = np.stack([
+            rng.uniform(-450, 450, 24), np.zeros(24), rng.uniform(-450, 450, 24),
+        ], axis=-1)
+        got = np.asarray(t.query_attachment("cam", pts, 1))
+        want = np.array([
+            sample_attachment(t.tile_trees["cam"], t.atlas, 1, p) for p in pts
+        ])
+        np.testing.assert_allclose(got, want, atol=0.02)
+        # the analytic colormap too: red tracks u, green tracks v
+        u, v = pts[:, 0] / 1000.0 + 0.5, pts[:, 2] / 1000.0 + 0.5
+        assert np.median(np.abs(got[:, 0] - (0.1 + 0.85 * u))) < 0.02
+        assert np.median(np.abs(got[:, 1] - v)) < 0.02
