@@ -313,6 +313,9 @@ class TileAtlasState:
         self.existing_tiles: set[TileCoordinate] = set(existing_tiles)
         self.attachment_count = attachment_count
         self.to_load: deque[AtlasTileAttachment] = deque()
+        # graceful-exhaustion bookkeeping (see request_tile)
+        self._denied: dict = {}
+        self.exhausted_requests = 0
         self.to_save: deque[AtlasTileAttachment] = deque()
         self.load_slots = DEFAULT_LOAD_SLOTS
         self.save_slots = DEFAULT_SAVE_SLOTS
@@ -393,6 +396,16 @@ class TileAtlasState:
     def request_tile(self, coordinate: TileCoordinate) -> None:
         if coordinate not in self.existing_tiles:
             return
+        if coordinate not in self.tile_states and not self.unused_tiles:
+            # BEYOND the reference: tile_atlas.rs:384 panics "Atlas out of
+            # indices" on exhaustion (acknowledged as unacceptable,
+            # docs/implementation.md:141-145). Here the request is denied
+            # gracefully: the tile stays unloaded, geometry keeps serving
+            # from the best-loaded ancestor (get_best_tiles walk-up), and
+            # the denial is counted loudly for capacity alerting.
+            self._denied[coordinate] = self._denied.get(coordinate, 0) + 1
+            self.exhausted_requests += 1
+            return
         if self._native is not None:
             self._native.request(self._key(coordinate))
             self._native.drain_loads()  # Python to_load is authoritative
@@ -414,8 +427,25 @@ class TileAtlasState:
                 AtlasTileAttachment(coordinate, atlas_index, attachment_index)
             )
 
+    def retry_denied(self) -> None:
+        """Revive requests denied at exhaustion once slots free again
+        (see request_tile): the denial converts back into a real request,
+        so transient exhaustion does not leave permanently coarse holes."""
+        while self.unused_tiles and self._denied:
+            coordinate, count = next(iter(self._denied.items()))
+            del self._denied[coordinate]
+            for _ in range(count):
+                self.request_tile(coordinate)
+
     def release_tile(self, coordinate: TileCoordinate) -> None:
         if coordinate not in self.existing_tiles:
+            return
+        denied = self._denied.get(coordinate, 0)
+        if denied:  # matches a request denied at exhaustion (never counted)
+            if denied == 1:
+                del self._denied[coordinate]
+            else:
+                self._denied[coordinate] = denied - 1
             return
         if self._native is not None:
             self._native.release(self._key(coordinate))
@@ -514,6 +544,7 @@ class TileAtlas:
             state.release_tile(coordinate)
         for coordinate in requested_tiles:
             state.request_tile(coordinate)
+        state.retry_denied()
 
     def flush_uploads(self) -> int:
         return sum(a.flush_uploads() for a in self.attachments)
