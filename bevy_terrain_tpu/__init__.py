@@ -33,6 +33,7 @@ from bevy_terrain_tpu.terrain_data import TileAtlas, TileTree  # noqa: E402
 from bevy_terrain_tpu.terrain_data.sampling_api import sample_attachment, sample_height  # noqa: E402
 from bevy_terrain_tpu.render.pipeline import Terrain, TerrainFrameOutput  # noqa: E402
 from bevy_terrain_tpu.preprocess import PreprocessDataset, Preprocessor, SphericalDataset  # noqa: E402
+from bevy_terrain_tpu.debug import DebugTerrain  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -40,6 +41,7 @@ __all__ = [
     "AttachmentConfig",
     "AttachmentFormat",
     "Coordinate",
+    "DebugTerrain",
     "PreprocessDataset",
     "Preprocessor",
     "SphericalDataset",
