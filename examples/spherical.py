@@ -121,8 +121,11 @@ def main() -> None:
         ).run()
 
     terrain = Terrain(config)
-    terrain.add_view("camera", TerrainViewConfig(tile_capacity=8192), queue_capacity=32768)
+    terrain.add_view("camera", TerrainViewConfig(tile_capacity=8192),
+                     queue_capacity=32768, culling=True)
     terrain.set_shading(lighting=True)
+
+    from bevy_terrain_tpu.math.frustum import view_projection
 
     cam = ApproachCamera(
         target=np.zeros(3), start_distance=3.0 * RADIUS,
@@ -130,8 +133,12 @@ def main() -> None:
     )
     times = []
     for i, view in enumerate(cam.path(args.frames)):
+        # 60-degree frustum looking at the planet: out-of-view subtrees
+        # are culled inside refinement (the reference declares but never
+        # populates its culling planes)
+        vp = view_projection(view, np.zeros(3), np.pi / 3, 16 / 9)
         t0 = time.perf_counter()
-        out = terrain.update({"camera": view})["camera"]
+        out = terrain.update({"camera": view}, {"camera": vp})["camera"]
         times.append(time.perf_counter() - t0)
         if i % 10 == 0:
             print(
@@ -141,6 +148,12 @@ def main() -> None:
             )
     steady = np.median(times[len(times) // 2 :]) * 1e3
     print(f"steady-state frame: {steady:.2f} ms wall")
+
+    # batched device-side surface queries under the final camera
+    d = view / np.linalg.norm(view)
+    pts = np.outer(np.linspace(0.999, 1.001, 8), d * RADIUS)
+    hs = np.asarray(terrain.query_heights("camera", pts))
+    print(f"query_heights along the boresight: {hs.round(1)}")
 
 
 if __name__ == "__main__":
