@@ -130,3 +130,90 @@ class ApproachCamera:
 
     def path(self, frames: int) -> list[np.ndarray]:
         return [self.position(i / max(frames - 1, 1)) for i in range(frames)]
+
+
+@dataclasses.dataclass
+class FlyCamera:
+    """Smoothed free-fly camera controller (reference debug/camera.rs:8-204).
+
+    The reference's DebugCameraController as a headless update law —
+    callers feed per-tick move/look inputs (keyboard/gamepad/script)
+    instead of Bevy events, and positions stay f64 (the reference's
+    big_space high-precision path needs no separate integer grid here):
+
+    * translation velocity lerps toward ``direction * speed * dt`` with
+      factor ``1 - translational_smoothness`` (camera.rs:171-181)
+    * rotation velocity lerps likewise (rotational_smoothness)
+    * ``accelerate`` input multiplies the speed by
+      ``1 + accel * acceleration_speed * dt`` (camera.rs:183)
+    * yaw wraps at tau; pitch clamps to +/- pi/2 (camera.rs:185-188)
+    * the move direction is rotated into the camera basis before
+      integrating (camera.rs:168)
+    """
+
+    position: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
+    yaw: float = 0.0
+    pitch: float = 0.0
+    translational_smoothness: float = 0.9  # camera.rs defaults :92-100
+    rotational_smoothness: float = 0.8
+    translation_speed: float = 100.0
+    rotation_speed: float = 0.1
+    acceleration_speed: float = 4.0
+    translation_velocity: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3)
+    )
+    rotation_velocity: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(2)
+    )
+
+    def basis(self) -> np.ndarray:
+        """Rows = right, up, forward of the camera orientation
+        (yaw about +Y then pitch about +X, reference EulerRot::YXZ)."""
+        cy, sy = np.cos(self.yaw), np.sin(self.yaw)
+        cp, sp = np.cos(self.pitch), np.sin(self.pitch)
+        right = np.array([cy, 0.0, -sy])
+        up = np.array([sy * sp, cp, cy * sp])
+        forward = np.array([-sy * cp, sp, -cy * cp])
+        return np.stack([right, up, forward])
+
+    def update(self, dt: float, move=(0.0, 0.0, 0.0), look=(0.0, 0.0),
+               accelerate: float = 0.0) -> np.ndarray:
+        """One controller tick; returns the new position (f64 (3,)).
+
+        ``move`` = (right, up, forward) in [-1, 1]; ``look`` = (yaw,
+        pitch) deltas (the reference feeds -mouse_delta); ``accelerate``
+        in [-1, 1] (the reference's Home/End keys).
+        """
+        right, up, forward = self.basis()
+        direction = move[0] * right + move[1] * up + move[2] * forward
+
+        lerp_t = 1.0 - min(max(self.translational_smoothness, 0.0), 0.999)
+        lerp_r = 1.0 - min(max(self.rotational_smoothness, 0.0), 0.999)
+        vel_target = direction * self.translation_speed * dt
+        rot_target = np.asarray(look, np.float64) * self.rotation_speed * dt
+        self.translation_velocity = (
+            self.translation_velocity
+            + (vel_target - self.translation_velocity) * lerp_t
+        )
+        self.rotation_velocity = (
+            self.rotation_velocity
+            + (rot_target - self.rotation_velocity) * lerp_r
+        )
+        self.translation_speed *= 1.0 + accelerate * self.acceleration_speed * dt
+
+        self.yaw = (self.yaw + self.rotation_velocity[0]) % (2.0 * np.pi)
+        self.pitch = float(
+            np.clip(self.pitch + self.rotation_velocity[1],
+                    -np.pi / 2.0, np.pi / 2.0)
+        )
+        self.position = np.asarray(self.position, np.float64) + self.translation_velocity
+        return self.position
+
+    def view_projection(self, fov_y: float = np.pi / 3,
+                        aspect: float = 16 / 9) -> np.ndarray:
+        """Culling matrix for the current pose (math/frustum.py)."""
+        from bevy_terrain_tpu.math.frustum import view_projection
+
+        return view_projection(
+            self.position, self.position + self.basis()[2], fov_y, aspect
+        )

@@ -477,3 +477,48 @@ class TestDeviceAttachmentQueries:
         u, v = pts[:, 0] / 1000.0 + 0.5, pts[:, 2] / 1000.0 + 0.5
         assert np.median(np.abs(got[:, 0] - (0.1 + 0.85 * u))) < 0.02
         assert np.median(np.abs(got[:, 1] - v)) < 0.02
+
+
+class TestFlyCamera:
+    def test_update_law_matches_reference(self):
+        """FlyCamera reproduces DebugCameraController's update law
+        (camera.rs:160-204): velocity lerp, speed acceleration, yaw wrap,
+        pitch clamp, camera-basis movement."""
+        from bevy_terrain_tpu.debug import FlyCamera
+
+        # velocity lerp: v' = v + (target - v) * (1 - smoothness)
+        c = FlyCamera(translational_smoothness=0.9, translation_speed=100.0)
+        c.update(0.1, move=(1.0, 0.0, 0.0))
+        np.testing.assert_allclose(
+            c.translation_velocity, [100.0 * 0.1 * 0.1, 0.0, 0.0]
+        )
+        # speed acceleration: *= 1 + a * accel_speed * dt
+        s0 = c.translation_speed
+        c.update(0.5, accelerate=1.0)
+        assert c.translation_speed == pytest.approx(s0 * (1.0 + 4.0 * 0.5))
+        # pitch clamps at +/- pi/2; yaw wraps at tau
+        c = FlyCamera(rotational_smoothness=0.0, rotation_speed=1.0)
+        for _ in range(100):
+            c.update(1.0, look=(1.0, 1.0))
+        assert c.pitch == pytest.approx(np.pi / 2)
+        assert 0.0 <= c.yaw < 2.0 * np.pi
+        # movement is basis-relative: after a half-turn yaw, forward flips
+        c = FlyCamera(translational_smoothness=0.0)
+        c.yaw = np.pi
+        c.update(0.1, move=(0.0, 0.0, 1.0))
+        assert c.position[2] > 0  # -Z forward rotated to +Z
+        # frustum matrix is well-formed for culling
+        vp = c.view_projection()
+        assert vp.shape == (4, 4) and np.isfinite(vp).all()
+
+    def test_drives_a_streamed_terrain(self, shaded_terrain):
+        """The controller's poses drive Terrain.update directly."""
+        from bevy_terrain_tpu.debug import FlyCamera
+
+        t, view, _ = shaded_terrain
+        c = FlyCamera(position=np.asarray(view, np.float64),
+                      translation_speed=500.0)
+        for _ in range(5):
+            pos = c.update(0.05, move=(0.3, 0.0, 1.0), look=(0.2, -0.1))
+            out = t.update({"cam": pos})["cam"]
+        assert out.tile_count > 0
