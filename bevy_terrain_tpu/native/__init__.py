@@ -52,6 +52,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.tr_request.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.tr_release.restype = ctypes.c_int32
     lib.tr_release.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.tr_release_underflows.restype = ctypes.c_int64
+    lib.tr_release_underflows.argtypes = [ctypes.c_void_p]
     lib.tr_loaded.restype = ctypes.c_int32
     lib.tr_loaded.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.tr_get_or_allocate.restype = ctypes.c_int32
@@ -98,6 +100,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.tr_sample_bilinear.argtypes = [
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_double, ctypes.c_double, ctypes.c_double, f64p,
+    ]
+    lib.tr_split_bilinear.argtypes = [
+        f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        f64p, ctypes.c_int64, f64p, ctypes.c_int64, f32p,
     ]
     _lib = lib
     return lib
@@ -183,8 +189,15 @@ class NativeResidency:
         return result
 
     def release(self, key: int) -> None:
-        if self._lib.tr_release(self._h, key) != 0:
+        result = self._lib.tr_release(self._h, key)
+        if result == -1:
             raise RuntimeError("Tried releasing a tile, which is not present.")
+        # -2 == over-release of a cached tile: guarded + counted in C++
+        # (release_underflows), mirroring the Python backend
+
+    @property
+    def release_underflows(self) -> int:
+        return self._lib.tr_release_underflows(self._h)
 
     def loaded(self, key: int) -> None:
         if self._lib.tr_loaded(self._h, key) != 0:
@@ -300,6 +313,28 @@ def taylor_spherical(uv: np.ndarray, view: np.ndarray, m3x4: np.ndarray,
         coeffs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return origin_xy, origin_uv, coeffs
+
+
+def split_bilinear(source: np.ndarray, px: np.ndarray,
+                   py: np.ndarray) -> np.ndarray:
+    """Threaded separable clamp-to-edge bilinear resize of a (H, W, C)
+    f32 source at f64 source positions px (P,) / py (B,) -> (B, P, C)
+    f32 (terrain_runtime.cpp tr_split_bilinear). Bit-identical to the
+    numpy two-pass path in ops/preprocess.split_mosaic."""
+    lib = _load()
+    assert lib is not None
+    source = np.ascontiguousarray(source, np.float32)
+    px = np.ascontiguousarray(px, np.float64)
+    py = np.ascontiguousarray(py, np.float64)
+    H, W, C = source.shape
+    out = np.empty((py.shape[0], px.shape[0], C), np.float32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.tr_split_bilinear(
+        source.ctypes.data_as(f32p), H, W, C,
+        _f64p(px), px.shape[0], _f64p(py), py.shape[0],
+        out.ctypes.data_as(f32p),
+    )
+    return out
 
 
 def sample_bilinear(data: np.ndarray, uv, max_value: float) -> np.ndarray:

@@ -77,6 +77,7 @@ struct Residency {
   std::vector<uint32_t> generation;
   std::unordered_set<int64_t> existing;
   std::deque<LoadEntry> to_load;
+  int64_t release_underflows = 0;
 
   Residency(int32_t size, int32_t attachments)
       : atlas_size(size), attachment_count(attachments), generation(size, 0) {
@@ -121,12 +122,18 @@ struct Residency {
   }
 
   // returns 0, or -1 for releasing a non-present tile (panic in the
-  // reference, tile_atlas.rs:467)
+  // reference, tile_atlas.rs:467), or -2 for over-releasing a cached
+  // tile (the reference underflows its u32 refcount there in release
+  // builds; guarded + counted here instead)
   int32_t release(int64_t key) {
     if (!existing.count(key)) return 0;
     auto it = states.find(key);
     if (it == states.end()) return -1;
     TileState &s = it->second;
+    if (s.requests == 0) {
+      release_underflows += 1;
+      return -2;
+    }
     s.requests -= 1;
     if (s.requests == 0)
       unused.push_back({s.atlas_index, generation[s.atlas_index], key});
@@ -451,6 +458,10 @@ int32_t tr_release(void *r, int64_t key) {
   return static_cast<Residency *>(r)->release(key);
 }
 
+int64_t tr_release_underflows(void *r) {
+  return static_cast<Residency *>(r)->release_underflows;
+}
+
 int32_t tr_loaded(void *r, int64_t key) {
   return static_cast<Residency *>(r)->loaded(key);
 }
@@ -495,6 +506,68 @@ int32_t tr_requests_of(void *r, int64_t key) {
 
 int64_t tr_resident_count(void *r) {
   return static_cast<int64_t>(static_cast<Residency *>(r)->states.size());
+}
+
+// Separable clamp-to-edge bilinear resize of a (H, W, C) f32 source to a
+// (B, P, C) band (split.wgsl:28-33 semantics), threaded over output rows.
+// Accumulation order matches the numpy host path bit-for-bit: the y-pass
+// intermediate is rounded to f32 before the x-pass, each tap pair sums as
+// fl(fl(w0*s0) + fl(w1*s1)) (the Makefile disables fp contraction), and
+// tap weights use the same f64 math with a final f32 round.
+static inline void tap(const double *pos, int64_t i, int64_t size,
+                       int64_t &i0, int64_t &i1, float &w0, float &w1) {
+  double p = pos[i];
+  if (p < 0.0) p = 0.0;
+  const double hi = static_cast<double>(size - 1);
+  if (p > hi) p = hi;
+  i0 = static_cast<int64_t>(std::floor(p));
+  i1 = i0 + 1 < size ? i0 + 1 : size - 1;
+  const double f = p - static_cast<double>(i0);
+  w0 = static_cast<float>(1.0 - f);
+  w1 = static_cast<float>(f);
+}
+
+void tr_split_bilinear(const float *src, int64_t H, int64_t W, int64_t C,
+                       const double *px, int64_t P, const double *py,
+                       int64_t B, float *out) {
+  int n_threads = static_cast<int>(std::thread::hardware_concurrency());
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > 16) n_threads = 16;
+  if (B < n_threads) n_threads = static_cast<int>(B);
+  std::vector<std::thread> workers;
+  std::atomic<int64_t> next_row{0};
+  auto worker = [&]() {
+    std::vector<float> band(static_cast<size_t>(W) * C);
+    for (;;) {
+      const int64_t r = next_row.fetch_add(1);
+      if (r >= B) return;
+      int64_t y0, y1;
+      float wy0, wy1;
+      tap(py, r, H, y0, y1, wy0, wy1);
+      const float *s0 = src + y0 * W * C;
+      const float *s1 = src + y1 * W * C;
+      for (int64_t i = 0; i < W * C; ++i) {
+        const float a = wy0 * s0[i];
+        const float b = wy1 * s1[i];
+        band[i] = a + b;
+      }
+      float *o = out + r * P * C;
+      for (int64_t k = 0; k < P; ++k) {
+        int64_t x0, x1;
+        float wx0, wx1;
+        tap(px, k, W, x0, x1, wx0, wx1);
+        const float *b0 = band.data() + x0 * C;
+        const float *b1 = band.data() + x1 * C;
+        for (int64_t c = 0; c < C; ++c) {
+          const float a = wx0 * b0[c];
+          const float b = wx1 * b1[c];
+          o[k * C + c] = a + b;
+        }
+      }
+    }
+  };
+  for (int i = 0; i < n_threads; ++i) workers.emplace_back(worker);
+  for (auto &w : workers) w.join();
 }
 
 void *tr_io_create(int32_t threads) { return new IoPool(threads); }

@@ -277,6 +277,7 @@ def generate_mesh_fused(
         pad(tiles.tile_xy[:F, 0].astype(jnp.float32)),
         pad(tiles.tile_xy[:F, 1].astype(jnp.float32)),
     ]
+    hp_steps = None
     if cfg.spherical:
         side_i = pad(tiles.tile_side[:F])
         cols.append(side_i.astype(jnp.float32))
@@ -288,11 +289,50 @@ def generate_mesh_fused(
         ouv = coords.take_side_rows(t.origin_uv, side_i, cfg.side_count)
         cols += [oxy[:, 0].astype(jnp.float32), oxy[:, 1].astype(jnp.float32),
                  ouv[:, 0], ouv[:, 1]]
-    tile_params = jnp.stack(cols, axis=-1)  # (Fp, 4) or (Fp, 27)
+        # per-tile world/normal transforms precomposed with the side's
+        # cube placement (EXACT: side matrices are signed permutations),
+        # so the kernel skips the per-lane 6-way side select entirely
+        wm6 = jnp.einsum(
+            "ij,sjk->sik", uniforms.world_from_local[:, :3],
+            jnp.asarray(coords._SIDE_MATS),
+        ).reshape(6, 9)
+        nm6 = jnp.einsum(
+            "ij,sjk->sik", uniforms.normal_matrix,
+            jnp.asarray(coords._SIDE_MATS),
+        ).reshape(6, 9)
+        wm = coords.take_side_rows(wm6, side_i, cfg.side_count)  # (Fp, 9)
+        nm = coords.take_side_rows(nm6, side_i, cfg.side_count)
+        cols += [wm[:, r] for r in range(9)]
+        cols += [nm[:, r] for r in range(9)]
+        if cfg.high_precision:
+            # conservative per-step hp mask: a lane can only be inside
+            # the precision threshold if its tile's closest point
+            # (refinement's own subdivision-coordinate distance) is
+            # within threshold + an f32-noise margin; steps with no such
+            # tile skip both in-kernel Taylor chains (pl.when)
+            lod_i = pad(jnp.maximum(tiles.tile_lod[:F], 0))
+            xy_i = jnp.stack(
+                [pad(tiles.tile_xy[:F, 0]), pad(tiles.tile_xy[:F, 1])], axis=-1
+            )
+            sub_uv = coords.compute_subdivision_coordinate(
+                side_i, lod_i, xy_i, t, cfg.origin_lod, cfg.side_count
+            )
+            dmin = coords.approximate_view_distance(
+                side_i, lod_i, xy_i, sub_uv, uniforms, cfg
+            )
+            margin = 1.0 + 4e-6 * jnp.max(jnp.abs(uniforms.view_world_position))
+            tile_hp = (
+                dmin < uniforms.precision_threshold_distance * 1.05 + margin
+            ) & (cols[0] > 0.0)
+            hp_steps = jnp.any(
+                tile_hp.reshape(steps, pk.TILES_PER_STEP), axis=1
+            ).astype(jnp.int32)
+    tile_params = jnp.stack(cols, axis=-1)  # (Fp, 4) or (Fp, 45)
     fs = pk.pack_mesh_scalars(uniforms, cfg, max_value)
     raw = pk.mesh_fused(
-        block_array, batch, tile_params, fs, spherical=cfg.spherical,
-        origin_lod=cfg.origin_lod, interpret=interpret,
+        block_array, batch, tile_params, fs, hp_steps,
+        spherical=cfg.spherical, origin_lod=cfg.origin_lod,
+        interpret=interpret,
     )
     return raw, tiles
 
@@ -300,8 +340,8 @@ def generate_mesh_fused(
 def fused_to_grid(raw, tiles: RefinementOutput, cfg: StaticTerrainConfig,
                   uniforms: FrameUniforms | None = None) -> GridMeshOutput:
     """Reshape the fused kernel's flat products into the GridMeshOutput
-    layout (relayout cost — use only off the benchmarked hot path).
-    Spherical grids need ``uniforms`` for the geometric normals."""
+    layout. Spherical normals come straight from the kernel's extra
+    output rows (``uniforms`` is accepted for API compatibility)."""
     import numpy as np
 
     from bevy_terrain_tpu.ops import pallas_kernels as pk
@@ -319,14 +359,10 @@ def fused_to_grid(raw, tiles: RefinementOutput, cfg: StaticTerrainConfig,
     positions = jnp.stack([rows(1), rows(2), rows(3)], axis=-1)
     uvs = jnp.stack([rows(4), rows(5)], axis=-1)
     if cfg.spherical:
-        side = jnp.broadcast_to(
-            tiles.tile_side[:F, None, None], (F, G + 1, G + 1))
-        lod = jnp.broadcast_to(
-            jnp.maximum(tiles.tile_lod[:F, None, None], 0), (F, G + 1, G + 1))
-        xy = jnp.broadcast_to(
-            tiles.tile_xy[:F, None, None, :], (F, G + 1, G + 1, 2))
-        local = coords.compute_local_position(side, lod, xy, uvs, True)
-        normals = coords.normal_local_to_world(local, uniforms.normal_matrix, True)
+        # the kernel emits its blend-selected unit world normals as rows
+        # 6..8 (recomputing them here from the morphed uv grid measured
+        # ~0.26 ms/frame at capacity 4096)
+        normals = jnp.stack([rows(6), rows(7), rows(8)], axis=-1)
     else:
         up = jnp.asarray(np.array([0.0, 1.0, 0.0], np.float32))
         normals = jnp.broadcast_to(up, (F, G + 1, G + 1, 3))

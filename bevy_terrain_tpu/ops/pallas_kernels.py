@@ -292,7 +292,12 @@ def fetch_resample_cached(block_array, batch, interpret: bool = False):
 # [height, pos_x, pos_y, pos_z, morphed_u, morphed_v] x 17.
 GV = 17  # vertices per axis (grid_size 16)
 LANES = TILES_PER_STEP * GV
-OUT_ROWS = 6 * GV
+OUT_ROWS = 6 * GV  # planar: height, pos xyz, morphed uv
+# spherical frames emit three extra normal rows: the kernel already has
+# the blend-selected unit world normal in registers, and recomputing it
+# downstream (compute_local_position + normalize on (F, 17, 17) grids)
+# measured ~0.26 ms/frame at capacity 4096 on v5e
+OUT_ROWS_SPH = 9 * GV
 
 # frame-scalar vector layout (see pack_mesh_scalars)
 FS_SIZE = 32
@@ -338,8 +343,14 @@ def pack_mesh_scalars(uniforms, cfg, max_value: float) -> jnp.ndarray:
 # 0 p0x, 1 p0y, 2 dp, 3 live, 4 lodf, 5 xf, 6 yf, 7 valid — planar set;
 # spherical adds: 8..25 Taylor rows c/c_s/c_t/c_ss/c_st/c_tt (side-selected
 # per tile), 26..27 origin_xy - (tile re-anchor int part is per-vertex),
-# 28..29 origin_uv, 30 side, 31 unused
-GR_ROWS = 32
+# 28..29 origin_uv, 30..38 world_rot3x3 @ SIDE_LOCAL_MATRICES[side]
+# (row-major), 39..47 normal_matrix @ SIDE_LOCAL_MATRICES[side].
+# Precomposing the per-side cube placement into the world/normal
+# transforms on the host is EXACT (side matrices are signed
+# permutations: each column has one ±1 entry, so W@M is a signed column
+# permutation of W) and deletes the 15-compare/15-select per-side pick
+# from both per-vertex geometry evaluations.
+GR_ROWS = 48
 
 
 C_SQR_F = 0.87 * 0.87  # cube-sphere warp constant (math/coordinate.py)
@@ -347,14 +358,20 @@ C_SQR_F = 0.87 * 0.87  # cube-sphere warp constant (math/coordinate.py)
 
 def _make_mesh_kernel(spherical: bool, origin_lod: int):
     def kernel(*refs):
-        _mesh_kernel_body(spherical, origin_lod, *refs)
+        ins = refs[:10]  # 7 prefetched scalars + gr8 + hbm + out
+        if spherical:
+            cache, S, HP, sem, cnt = refs[10:]
+        else:
+            cache, S, sem, cnt = refs[10:]
+            HP = None
+        _mesh_kernel_body(spherical, origin_lod, *ins, cache, S, HP, sem, cnt)
 
     return kernel
 
 
 def _mesh_kernel_body(spherical, origin_lod, uq_ref, slots_ref, rlo_ref,
-                      rhi_ref, nuq_ref, fs_ref, gr8_ref, hbm_ref, out_ref,
-                      cache, S, sem, cnt):
+                      rhi_ref, nuq_ref, fs_ref, hp_ref, gr8_ref, hbm_ref,
+                      out_ref, cache, S, HP, sem, cnt):
     s = pl.program_id(0)
     T = TILES_PER_STEP
 
@@ -539,52 +556,39 @@ def _mesh_kernel_body(spherical, origin_lod, uq_ref, slots_ref, rlo_ref,
     v = sub.astype(jnp.float32) * (1.0 / (GV - 1.0))
     inv_count = jnp.exp2(-lodf)
 
-    def sphere_geometry(uu, vv):
-        """Cube-sphere world position/normal + HIGH_PRECISION Taylor
-        relative position at tile uv (uu, vv) — vertex.wgsl:30-55 +
-        functions.wgsl:73-115 on (GV, LANES) lanes. Returns
-        (wx, wy, wz world-f32, nx, ny, nz unit world normal, rel xyz
-        Taylor view-relative, dist_w world distance, dist_hp)."""
-        sidef = gV[30]
-        # --- local position: sigmoid inverse + per-side cube placement ---
+    def far_geom(uu, vv):
+        """Cube-sphere world position + unit world normal at tile uv
+        (uu, vv) — vertex.wgsl:30-55 + functions.wgsl:73-96 on
+        (GV, LANES) lanes. The per-side cube placement is precomposed
+        into the per-tile WM/NM rows (see GR_ROWS comment), and the
+        cube-point norm is closed-form: the homogeneous point
+        [pxs, pys, 1] permuted by a signed permutation always has
+        squared norm 1 + pxs² + pys²."""
         uv01x = (xf + uu) * inv_count
         uv01y = (yf + vv) * inv_count
         wxp = 2.0 * uv01x - 1.0
         wyp = 2.0 * uv01y - 1.0
         pxs = wxp * jax.lax.rsqrt(1.0 + C_SQR_F - C_SQR_F * wxp * wxp)
         pys = wyp * jax.lax.rsqrt(1.0 + C_SQR_F - C_SQR_F * wyp * wyp)
-        one = jnp.ones_like(pxs)
-
-        def pick(c0, c1, c2, c3, c4, c5):
-            r = jnp.where(sidef < 0.5, c0, c1)
-            r = jnp.where(sidef < 1.5, r, c2)
-            r = jnp.where(sidef < 2.5, r, c3)
-            r = jnp.where(sidef < 3.5, r, c4)
-            return jnp.where(sidef < 4.5, r, c5)
-
-        # cube = SIDE_LOCAL_MATRICES[side] @ [px, py, 1]
-        cx = pick(-one, pxs, pxs, one, pys, pys)
-        cy = pick(-pys, -pys, one, -pxs, -pxs, -one)
-        cz = pick(pxs, one, pys, pys, -one, pxs)
-        inv_n = jax.lax.rsqrt(cx * cx + cy * cy + cz * cz)
-        lx_, ly_, lz_ = cx * inv_n, cy * inv_n, cz * inv_n
-        wx = fs[0] * lx_ + fs[1] * ly_ + fs[2] * lz_ + fs[3]
-        wy = fs[4] * lx_ + fs[5] * ly_ + fs[6] * lz_ + fs[7]
-        wz = fs[8] * lx_ + fs[9] * ly_ + fs[10] * lz_ + fs[11]
-        # world normal = normalize(normal_matrix @ local)
-        nx = fs[30] * lx_ + fs[31] * ly_ + fs[32] * lz_
-        ny = fs[33] * lx_ + fs[34] * ly_ + fs[35] * lz_
-        nz = fs[36] * lx_ + fs[37] * ly_ + fs[38] * lz_
+        inv_n = jax.lax.rsqrt(1.0 + pxs * pxs + pys * pys)
+        pxn = pxs * inv_n
+        pyn = pys * inv_n
+        wx = gV[30] * pxn + gV[31] * pyn + gV[32] * inv_n + fs[3]
+        wy = gV[33] * pxn + gV[34] * pyn + gV[35] * inv_n + fs[7]
+        wz = gV[36] * pxn + gV[37] * pyn + gV[38] * inv_n + fs[11]
+        # world normal = normalize(normal_matrix @ local); the inv_n
+        # factor is uniform per lane so it drops out in the normalize
+        nx = gV[39] * pxs + gV[40] * pys + gV[41]
+        ny = gV[42] * pxs + gV[43] * pys + gV[44]
+        nz = gV[45] * pxs + gV[46] * pys + gV[47]
         ninv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz)
-        nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
-        # world-space view distance at the approximate height
-        dwx = wx + fs[29] * nx - fs[39]
-        dwy = wy + fs[29] * ny - fs[40]
-        dwz = wz + fs[29] * nz - fs[41]
-        dist_w = jnp.sqrt(dwx * dwx + dwy * dwy + dwz * dwz)
+        return wx, wy, wz, nx * ninv, ny * ninv, nz * ninv
 
-        # --- Taylor relative position (functions.wgsl:98-115): re-anchor
-        # the coordinate at origin_lod with INTEGER-exact cancellation ---
+    def taylor_rel(uu, vv):
+        """HIGH_PRECISION Taylor relative position
+        (functions.wgsl:98-115): re-anchor the coordinate at origin_lod
+        with INTEGER-exact cancellation, then evaluate the second-order
+        polynomial. Only runs on hp-flagged steps (under pl.when)."""
         xi = xf.astype(jnp.int32)
         yi = yf.astype(jnp.int32)
         lodi = lodf.astype(jnp.int32)
@@ -622,17 +626,31 @@ def _mesh_kernel_body(spherical, origin_lod, uq_ref, slots_ref, rlo_ref,
               + gV[21] * st_s * st_t + gV[24] * st_t * st_t)
         rz = (gV[10] + gV[13] * st_s + gV[16] * st_t + gV[19] * st_s * st_s
               + gV[22] * st_s * st_t + gV[25] * st_t * st_t)
-        dhx = rx + fs[29] * nx
-        dhy = ry + fs[29] * ny
-        dhz = rz + fs[29] * nz
-        dist_hp = jnp.sqrt(dhx * dhx + dhy * dhy + dhz * dhz)
-        return wx, wy, wz, nx, ny, nz, rx, ry, rz, dist_w, dist_hp
+        return rx, ry, rz
 
     if spherical:
-        geo = sphere_geometry(u, v)
-        dist_w0, dist_hp0 = geo[9], geo[10]
-        near = dist_w0 < fs[27]
-        dist = jnp.where(near, dist_hp0, dist_w0)
+        hp_on = hp_ref[s] == 1
+        wx0, wy0, wz0, nx0, ny0, nz0 = far_geom(u, v)
+        # world-space view distance at the approximate height
+        dwx = wx0 + fs[29] * nx0 - fs[39]
+        dwy = wy0 + fs[29] * ny0 - fs[40]
+        dwz = wz0 + fs[29] * nz0 - fs[41]
+        dist_w0 = jnp.sqrt(dwx * dwx + dwy * dwy + dwz * dwz)
+
+        @pl.when(hp_on)
+        def _():
+            rx0, ry0, rz0 = taylor_rel(u, v)
+            dhx = rx0 + fs[29] * nx0
+            dhy = ry0 + fs[29] * ny0
+            dhz = rz0 + fs[29] * nz0
+            HP[0] = jnp.sqrt(dhx * dhx + dhy * dhy + dhz * dhz)
+
+        # hp_on gates the scratch read: a step whose flag is 0 is
+        # conservatively guaranteed (plan-side closest-point bound) to
+        # have no lane inside the precision threshold, so the where
+        # never selects the (possibly stale) scratch row
+        near = jnp.logical_and(dist_w0 < fs[27], hp_on)
+        dist = jnp.where(near, HP[0], dist_w0)
     else:
         lx = (xf + u) * inv_count - 0.5
         lz = (yf + v) * inv_count - 0.5
@@ -680,15 +698,23 @@ def _mesh_kernel_body(spherical, origin_lod, uq_ref, slots_ref, rlo_ref,
         # vertex.wgsl:40-55: world position at the morphed uv; within the
         # precision threshold the Taylor relative position (view + rel)
         # replaces it and the UNMORPHED normal is kept (the staged path's
-        # exact selection, meshgen.generate_mesh_grid)
-        gm = sphere_geometry(mu, mv)
-        wxm, wym, wzm, nxm, nym, nzm, rxm, rym, rzm = gm[:9]
-        nx_f = jnp.where(near, geo[3], nxm)
-        ny_f = jnp.where(near, geo[4], nym)
-        nz_f = jnp.where(near, geo[5], nzm)
-        px = jnp.where(near, fs[39] + rxm, wxm) + height * nx_f
-        py = jnp.where(near, fs[40] + rym, wym) + height * ny_f
-        pz = jnp.where(near, fs[41] + rzm, wzm) + height * nz_f
+        # exact selection, meshgen.generate_mesh_grid). The morphed call
+        # needs no distances, and its Taylor chain runs only on hp steps.
+        wxm, wym, wzm, nxm, nym, nzm = far_geom(mu, mv)
+
+        @pl.when(hp_on)
+        def _():
+            rxm_, rym_, rzm_ = taylor_rel(mu, mv)
+            HP[1] = rxm_
+            HP[2] = rym_
+            HP[3] = rzm_
+
+        nx_f = jnp.where(near, nx0, nxm)
+        ny_f = jnp.where(near, ny0, nym)
+        nz_f = jnp.where(near, nz0, nzm)
+        px = jnp.where(near, fs[39] + HP[1], wxm) + height * nx_f
+        py = jnp.where(near, fs[40] + HP[2], wym) + height * ny_f
+        pz = jnp.where(near, fs[41] + HP[3], wzm) + height * nz_f
     else:
         mlx = (xf + mu) * inv_count - 0.5
         mlz = (yf + mv) * inv_count - 0.5
@@ -702,29 +728,40 @@ def _mesh_kernel_body(spherical, origin_lod, uq_ref, slots_ref, rlo_ref,
     out_ref[0, 3 * GV:4 * GV] = pz * live
     out_ref[0, 4 * GV:5 * GV] = mu * live
     out_ref[0, 5 * GV:6 * GV] = mv * live
+    if spherical:
+        out_ref[0, 6 * GV:7 * GV] = nx_f * live
+        out_ref[0, 7 * GV:8 * GV] = ny_f * live
+        out_ref[0, 8 * GV:9 * GV] = nz_f * live
 
 
 @functools.partial(
     jax.jit, static_argnames=("spherical", "origin_lod", "interpret")
 )
-def mesh_fused(block_array, batch, tile_params, fs, spherical: bool = False,
-               origin_lod: int = 10, interpret: bool = False):
+def mesh_fused(block_array, batch, tile_params, fs, hp_steps=None,
+               spherical: bool = False, origin_lod: int = 10,
+               interpret: bool = False):
     """Fused frame mesh: fetch + resample + morph + interpolate.
 
     Args:
       block_array: (N, 32, 128) int32 quad blocks (HBM-resident).
       batch: patch_sampling.PatchBatch (quad-sorted schedule).
       tile_params: (Fp, 4) f32 per-tile [live, lodf, xf, yf] in the sorted
-        order, or (Fp, 24) with the spherical extras [side, origin_xy(2),
-        origin_uv(2), taylor c/c_s/c_t/c_ss/c_st/c_tt (18)] appended
-        (meshgen.generate_mesh_fused builds both).
+        order, or (Fp, 45) with the spherical extras [side, taylor
+        c/c_s/c_t/c_ss/c_st/c_tt (18), origin_xy(2), origin_uv(2),
+        WM(9), NM(9)] appended (meshgen.generate_mesh_fused builds both).
       fs: (48,) f32 frame scalars (pack_mesh_scalars).
+      hp_steps: (steps,) int32, 1 where a step may contain a lane inside
+        the precision threshold (conservative closest-point bound). The
+        Taylor chains run only on flagged steps; None = all flagged.
 
-    Returns (steps, 102, LANES) f32: rows = [height, pos_xyz, morphed uv]
+    Returns (steps, 102, LANES) f32 (planar) or (steps, 153, LANES)
+    (spherical): rows = [height, pos_xyz, morphed uv (, normal_xyz)]
     x 17 vertex rows; lane = tile_in_step * 17 + vertex column.
     """
     Fp = batch.slots.shape[0]
     steps = Fp // TILES_PER_STEP
+    if hp_steps is None:
+        hp_steps = jnp.ones((steps,), jnp.int32)
     # ONE tiny per-tile operand (GR_ROWS, T)/step — the kernel lane-expands
     # it on the MXU (see _mesh_kernel_body's expander dots)
     rows = [
@@ -733,19 +770,31 @@ def mesh_fused(block_array, batch, tile_params, fs, spherical: bool = False,
         tile_params[:, 3], batch.geom[:, 3],
     ]
     if spherical:
-        # rows 8..25 taylor, 26..27 origin_xy, 28..29 origin_uv, 30 side
+        # rows 8..25 taylor, 26..27 origin_xy, 28..29 origin_uv,
+        # 30..38 WM, 39..47 NM (see the GR_ROWS comment)
         rows += [tile_params[:, 5 + r] for r in range(18)]  # taylor (col-major xyz)
         rows += [tile_params[:, 23], tile_params[:, 24]]
         rows += [tile_params[:, 25], tile_params[:, 26]]
-        rows += [tile_params[:, 4]]
+        rows += [tile_params[:, 27 + r] for r in range(18)]  # WM + NM
     while len(rows) < GR_ROWS:
         rows.append(jnp.zeros_like(rows[0]))
     gr8 = jnp.transpose(
         jnp.stack(rows).reshape(GR_ROWS, steps, TILES_PER_STEP),
         (1, 0, 2),
     )
+    scratch = [
+        pltpu.VMEM((U_MAX, 32, 128), jnp.int32),
+        pltpu.VMEM((3, K, LANES), jnp.float32),
+    ]
+    if spherical:
+        scratch.append(pltpu.VMEM((4, GV, LANES), jnp.float32))
+    scratch += [
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SMEM((2,), jnp.int32),
+    ]
+    out_rows = OUT_ROWS_SPH if spherical else OUT_ROWS
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(steps,),
         in_specs=[
             pl.BlockSpec((1, GR_ROWS, TILES_PER_STEP), lambda i, *_: (i, 0, 0),
@@ -753,23 +802,18 @@ def mesh_fused(block_array, batch, tile_params, fs, spherical: bool = False,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, OUT_ROWS, LANES), lambda i, *_: (i, 0, 0),
+            (1, out_rows, LANES), lambda i, *_: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((U_MAX, 32, 128), jnp.int32),
-            pltpu.VMEM((3, K, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SMEM((2,), jnp.int32),
-        ],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         _make_mesh_kernel(spherical, origin_lod),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((steps, OUT_ROWS, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((steps, out_rows, LANES), jnp.float32),
         interpret=interpret,
     )(batch.uq, batch.slots, batch.rank_lo, batch.rank_hi, batch.n_unique, fs,
-      gr8, block_array)
+      hp_steps, gr8, block_array)
 
 
 def _kernel(ids_ref, geom_ref, *refs):

@@ -45,6 +45,25 @@ def _tent_matrix(positions: np.ndarray, size: int) -> np.ndarray:
     return np.maximum(0.0, 1.0 - np.abs(p[:, None] - r[None, :])).astype(np.float32)
 
 
+def _tap_weights(positions: np.ndarray, size: int):
+    """The two nonzero taps of each tent row: (w0, w1, i0, i1) f32/i64.
+
+    w0 = f32(1 - (p - floor(p))), w1 = f32(p - floor(p)) with p clamped to
+    [0, size-1] — bit-identical to the corresponding `_tent_matrix` row
+    entries (same f64 math, same final f32 rounding); at the top edge
+    w1 == 0 so the clamped duplicate tap contributes nothing."""
+    p = np.clip(positions, 0.0, size - 1.0)
+    i0 = np.floor(p).astype(np.int64)
+    i1 = np.minimum(i0 + 1, size - 1)
+    f = p - i0
+    return (
+        (1.0 - f).astype(np.float32),
+        f.astype(np.float32),
+        i0,
+        i1,
+    )
+
+
 @jax.jit
 def _resize_rows(m, src):
     # HIGHEST: the resample feeds 16-bit stored heights; default (bf16-pass)
@@ -109,12 +128,32 @@ def split_mosaic(
             tmp = _resize_rows(jnp.asarray(my), src_dev)  # (band, W, C)
             bands.append(np.asarray(_resize_cols(tmp, jnp.asarray(mx))))
     else:
-        src_flat = source.reshape(H, -1).astype(np.float32)  # (H, W*C)
-        C_ = source.shape[-1]
-        for y0 in range(0, P, row_band):
-            my = _tent_matrix(py[y0 : y0 + row_band], H)
-            tmp = (my @ src_flat).reshape(-1, W, C_)  # (band, W, C)
-            bands.append(np.einsum("bwc,lw->blc", tmp, mx, optimize=True))
+        # direct 2-tap separable bilinear: value-identical to the dense
+        # tent matmul (each tent row has exactly two nonzero weights,
+        # computed here with the same f64->f32 rounding and the same
+        # y-pass-then-x-pass f32 intermediate), ~10x faster (the dense
+        # (P, W) matrices were 75% of the host preprocess time)
+        from bevy_terrain_tpu import native as _native
+
+        if _native.available():
+            for y0 in range(0, P, row_band):
+                bands.append(
+                    _native.split_bilinear(
+                        source, px, py[y0 : y0 + row_band]
+                    )
+                )
+        else:
+            xw0, xw1, x0i, x1i = _tap_weights(px, W)
+            for y0 in range(0, P, row_band):
+                yw0, yw1, y0i, y1i = _tap_weights(py[y0 : y0 + row_band], H)
+                band = (
+                    source[y0i] * yw0[:, None, None]
+                    + source[y1i] * yw1[:, None, None]
+                )  # (band, W, C) f32
+                bands.append(
+                    band[:, x0i] * xw0[None, :, None]
+                    + band[:, x1i] * xw1[None, :, None]
+                )
     mosaic = np.concatenate(bands, axis=0)  # (P, P, C)
 
     # validity: all 4 gather taps of CHANNEL 0 nonzero — the reference
@@ -189,11 +228,18 @@ def downsample_tile(
             qy * center : (qy + 1) * center, qx * center : (qx + 1) * center
         ] = child[b : b + center, b : b + center]
 
-    quads = assembled.reshape(center, 2, center, 2, channels).transpose(0, 2, 1, 3, 4)
-    quads = quads.reshape(center, center, 4, channels)
-    valid = (quads != 0).any(axis=-1)  # wgsl: any(child_value.xyz != 0)
-    count = valid.sum(axis=-1)
-    total = (quads * valid[..., None]).sum(axis=2)
+    # nodata-masked 2x2 mean via strided slices (value-identical to the
+    # quad gather/transpose formulation, ~8x faster: no (center^2, 4, C)
+    # materialization). Tap order (dy, dx) = (0,0), (0,1), (1,0), (1,1)
+    # matches the quads reshape's axis-2 order.
+    taps = [assembled[dy::2, dx::2] for dy in (0, 1) for dx in (0, 1)]
+    valids = [(t != 0).any(axis=-1) for t in taps]
+    count = valids[0].astype(np.int64)
+    for v in valids[1:]:
+        count = count + v
+    total = taps[0] * valids[0][..., None]
+    for t, v in zip(taps[1:], valids[1:]):
+        total = total + t * v[..., None]
     avg = np.where(count[..., None] > 0, total / np.maximum(count, 1)[..., None], 0.0)
 
     tile = np.zeros((texture_size, texture_size, channels), dtype)

@@ -103,6 +103,11 @@ class Terrain:
         self._last_uniforms = {}
         self._last_cfgs = {}
         self._adaptive = {}
+        # overflow guard bookkeeping (see _spike_suspected / update):
+        # (position, height-above-terrain) per view + loud counters
+        self._last_view_pos: dict = {}
+        self.overflow_redispatches = 0
+        self.overflow_checks = 0
         # freeze support (reference debug/mod.rs:186-192: the prepass is
         # skipped and the last tile list is re-drawn from the new camera)
         self.debug = None
@@ -246,10 +251,14 @@ class Terrain:
         count reads back asynchronously (copy_to_host_async at dispatch,
         harvested next frame) so no device sync stalls the loop. Each rung
         compiles once (like the reference's pipeline specialization).
-        Transient overflow after a sudden tile-count spike is possible for
-        one frame and is surfaced loudly via TerrainFrameOutput.overflow;
-        the next frame climbs the ladder. Disabled while freeze debugging
-        pins a tile list (shapes must match the frozen tensors).
+        A sudden tile-count spike (teleport, fast cut) is caught the SAME
+        frame: a host-side spike heuristic (camera jump vs height above
+        terrain, request-scan burst — see _spike_suspected) triggers a
+        synchronous overflow check and the frame re-dispatches at the
+        next rung until clean (_overflow_guard), so no frame ever drops
+        geometry; the sync cost is paid only on suspect frames. Disabled
+        while freeze debugging pins a tile list (shapes must match the
+        frozen tensors).
         """
         cap = self.view_configs[view_id].tile_capacity
         if ladder is None:
@@ -284,6 +293,64 @@ class Terrain:
         if cap != cfg_s.tile_capacity:
             cfg_s = dataclasses.replace(cfg_s, tile_capacity=cap)
         return cfg_s
+
+    def _spike_suspected(self, view_id, pos, n_requested: int) -> bool:
+        """Host-side tile-count-spike heuristic for the overflow guard.
+
+        The refined tile count is a function of the camera relative to
+        the surface; it can only jump when the camera moves a distance
+        comparable to its height above the terrain (deepest-lod
+        subdivision radii are O(height)) or when the request scan bursts
+        (new area streaming in). Both signals are free on the host, so
+        the guard's device sync is paid only on suspect frames — the
+        steady state stays sync-free (a scalar D2H costs ~25 ms through
+        a tunneled TPU; ~50 us on PCIe hosts)."""
+        tree = self.tile_trees[view_id]
+        pos = np.asarray(pos, np.float64).reshape(3)
+        surf = np.asarray(
+            self.config.model.surface_position(
+                pos, float(tree.approximate_height)
+            ),
+            np.float64,
+        )
+        h = float(np.linalg.norm(pos - surf))
+        prev = self._last_view_pos.get(view_id)
+        self._last_view_pos[view_id] = (pos, h)
+        if prev is None:
+            return True  # first frame
+        ppos, ph = prev
+        if float(np.linalg.norm(pos - ppos)) > 0.3 * max(min(ph, h), 1e-9):
+            return True
+        cap = self._adaptive[view_id]["capacity"]
+        return n_requested > max(16, cap // 16)
+
+    def _overflow_guard(self, view_id, pos, n_requested, cfg_s, tiles, mesh,
+                        colors, dispatch):
+        """Same-frame adaptive-capacity overflow guard: when a tile-count
+        spike is suspected (see _spike_suspected), synchronously read the
+        frame's overflow counter and re-dispatch the SAME frame at the
+        next capacity rung until clean (the re-dispatch reuses the packed
+        uniforms already on device). Closes the one-frame dropped-geometry
+        window of enable_adaptive_capacity on teleports/fast cuts."""
+        ad = self._adaptive.get(view_id)
+        if ad is None:
+            return cfg_s, tiles, mesh, colors
+        if not self._spike_suspected(view_id, pos, n_requested):
+            return cfg_s, tiles, mesh, colors
+        ladder = ad["ladder"]
+        while cfg_s.tile_capacity < ladder[-1]:
+            self.overflow_checks += 1
+            if int(np.asarray(tiles.overflow)) == 0:
+                break
+            nxt = next(c for c in ladder if c > cfg_s.tile_capacity)
+            cfg_s = dataclasses.replace(
+                self._static_cfgs[view_id], tile_capacity=nxt
+            )
+            ad["capacity"] = nxt
+            self.overflow_redispatches += 1
+            out = dispatch(cfg_s)
+            tiles, mesh, colors = out if len(out) == 3 else (*out, colors)
+        return cfg_s, tiles, mesh, colors
 
     def remove_view(self, view_id) -> None:
         """Release every tile the view still holds, then drop it."""
@@ -389,11 +456,13 @@ class Terrain:
         view_projections = view_projections or {}
         # 1. request scans (TileTree::compute_requests, plugin.rs:47)
         released, requested = [], []
+        req_counts = {}
         for view_id, pos in view_positions.items():
             tree = self.tile_trees[view_id]
             tree.compute_requests(pos)
             released.extend(tree.released_tiles)
             requested.extend(tree.requested_tiles)
+            req_counts[view_id] = len(tree.requested_tiles)
 
         # 2. atlas residency + IO (TileAtlas::update, plugin.rs:49)
         self.atlas.update(released, requested)
@@ -440,14 +509,21 @@ class Terrain:
                         self.shading_fn,
                     )
                 else:
-                    tiles, mesh, colors = self._step_grid(
-                        height.block_array,
-                        blob_dev,
-                        cfg_s,
-                        height.patch_plan,
-                        height.config.format.max_value,
-                        self._shade_opts,
-                        self.shading_fn,
+                    def _dispatch(cfg_x):
+                        return self._step_grid(
+                            height.block_array,
+                            blob_dev,
+                            cfg_x,
+                            height.patch_plan,
+                            height.config.format.max_value,
+                            self._shade_opts,
+                            self.shading_fn,
+                        )
+
+                    tiles, mesh, colors = _dispatch(cfg_s)
+                    cfg_s, tiles, mesh, colors = self._overflow_guard(
+                        view_id, pos, req_counts.get(view_id, 0), cfg_s,
+                        tiles, mesh, colors, _dispatch,
                     )
                     if self.debug is not None and self.debug.freeze:
                         self._frozen_tiles[view_id] = tiles
@@ -467,14 +543,22 @@ class Terrain:
                 )
             if not self.use_grid_mesh:
                 cfg_s = self._adapted_cfg(view_id, frozen=False)
-                self._last_cfgs[view_id] = cfg_s
-                tiles, mesh = self._step(
-                    height.slabs[0],
-                    uniforms,
-                    cfg=cfg_s,
-                    attachment_scale=height.config.scale,
-                    attachment_offset=height.config.offset,
+
+                def _dispatch_plain(cfg_x):
+                    return self._step(
+                        height.slabs[0],
+                        uniforms,
+                        cfg=cfg_x,
+                        attachment_scale=height.config.scale,
+                        attachment_offset=height.config.offset,
+                    )
+
+                tiles, mesh = _dispatch_plain(cfg_s)
+                cfg_s, tiles, mesh, colors = self._overflow_guard(
+                    view_id, pos, req_counts.get(view_id, 0), cfg_s,
+                    tiles, mesh, colors, _dispatch_plain,
                 )
+                self._last_cfgs[view_id] = cfg_s
             ad = self._adaptive.get(view_id)
             if ad is not None:
                 count = tiles.tile_count

@@ -316,6 +316,8 @@ class TileAtlasState:
         # graceful-exhaustion bookkeeping (see request_tile)
         self._denied: dict = {}
         self.exhausted_requests = 0
+        # over-release guard (see release_tile)
+        self.release_underflows = 0
         self.to_save: deque[AtlasTileAttachment] = deque()
         self.load_slots = DEFAULT_LOAD_SLOTS
         self.save_slots = DEFAULT_SAVE_SLOTS
@@ -452,6 +454,14 @@ class TileAtlasState:
         state = self.tile_states.get(coordinate)
         if state is None:
             raise RuntimeError("Tried releasing a tile, which is not present.")
+        if state.requests == 0:
+            # Over-release of a cached (requests == 0, LRU-resident) tile:
+            # the reference underflows its u32 refcount here in release
+            # builds (tile_atlas.rs:459-475). Guard + loud counter instead,
+            # mirroring the graceful-exhaustion precedent above. The
+            # native backend applies the identical guard (fuzz parity).
+            self.release_underflows += 1
+            return
         state.requests -= 1
         if state.requests == 0:
             self.unused_tiles[state.atlas_index] = coordinate  # LRU push_back

@@ -99,6 +99,27 @@ class TestEquivalence:
         with pytest.raises(RuntimeError, match="not present"):
             nat.release(key_of(tiles[0]))
 
+    def test_over_release_cached_parity(self):
+        """Both backends guard (not underflow) an over-release of a
+        cached tile and count it identically."""
+        py, nat, tiles = make_pair()
+        t = tiles[0]
+        py.request_tile(t)
+        nat.request(key_of(t))
+        py.release_tile(t)
+        nat.release(key_of(t))
+        py.release_tile(t)  # over-release
+        nat.release(key_of(t))
+        assert py.release_underflows == 1
+        assert nat.release_underflows == 1
+        assert py.tile_states[t].requests == 0
+        assert nat.requests_of(key_of(t)) == 0
+        py.request_tile(t)
+        idx = nat.request(key_of(t))
+        assert py.tile_states[t].atlas_index == idx
+        assert py.tile_states[t].requests == 1
+        assert nat.requests_of(key_of(t)) == 1
+
     def test_lru_eviction_and_revival(self):
         py, nat, tiles = make_pair(atlas_size=3, attachments=1)
         lod1 = [t for t in tiles if t.lod == 1]

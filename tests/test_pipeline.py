@@ -463,6 +463,43 @@ class TestAdaptiveCapacity:
         finally:
             terrain.disable_adaptive_capacity("camera")
 
+    def test_teleport_spike_no_dropped_geometry(self, terrain):
+        """_overflow_guard: a teleporting camera (sudden tile-count spike)
+        must not produce a single dropped-geometry frame — the spike
+        heuristic triggers a same-frame overflow check and the frame
+        re-dispatches at the next rung (closes the adaptive-capacity
+        one-frame overflow window)."""
+        import math
+
+        high = np.array([0.0, 900.0, 0.0])
+        low = np.array([0.0, 200.0, 0.0])  # ~1588 tiles — fits the top rung
+
+        def count(out):
+            return int(np.asarray(out.tiles.tile_count))
+
+        _settle(terrain, high)
+        c_high = count(terrain.update({"camera": high})["camera"])
+        c_low = count(_settle(terrain, low))
+        # preconditions: the teleport is a real spike that overflows the
+        # settled-high rung
+        rung_high = 1 << math.ceil(math.log2(max(c_high * 2, 2)))
+        assert rung_high < c_low, (c_high, c_low)
+        _settle(terrain, high)
+        terrain.enable_adaptive_capacity(
+            "camera", ladder=[rung_high, 2048], headroom=2.0
+        )
+        try:
+            terrain.update({"camera": high})  # runs at full cap, counts
+            terrain.update({"camera": high})  # settles to rung_high
+            assert terrain._adaptive["camera"]["capacity"] == rung_high
+            before = terrain.overflow_redispatches
+            out = terrain.update({"camera": low})["camera"]  # teleport
+            assert int(np.asarray(out.overflow)) == 0
+            assert count(out) == c_low
+            assert terrain.overflow_redispatches > before
+        finally:
+            terrain.disable_adaptive_capacity("camera")
+
 
 class TestGracefulAtlasExhaustion:
     def test_exhausted_atlas_degrades_not_panics(self, tmp_path):

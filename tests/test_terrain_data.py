@@ -114,6 +114,22 @@ class TestAtlasResidency:
         with pytest.raises(RuntimeError, match="not present"):
             s.release_tile(t)
 
+    def test_over_release_cached_guarded(self):
+        """Over-releasing a cached (requests == 0) tile must not underflow
+        the refcount — the reference's u32 wraps there in release builds
+        (tile_atlas.rs:459-475); we guard + count instead."""
+        t = TileCoordinate(0, 0, 0, 0)
+        s = _state(existing=[t])
+        s.request_tile(t)
+        s.release_tile(t)  # now LRU-cached with requests == 0
+        s.release_tile(t)  # over-release: guarded, counted, state intact
+        assert s.release_underflows == 1
+        assert s.tile_states[t].requests == 0
+        assert t in s.unused_tiles.values()
+        s.request_tile(t)  # revival still works after the guard
+        assert s.tile_states[t].requests == 1
+        assert t not in s.unused_tiles.values()
+
     def test_lru_reuse_order(self):
         tiles = [TileCoordinate(0, 1, x, 0) for x in range(2)]
         extra = TileCoordinate(0, 1, 0, 1)

@@ -35,6 +35,11 @@ def main() -> None:
     ap.add_argument("--queue", type=int, default=2048,
                     help="refinement spill-queue capacity (deep lods beyond "
                          "the dense cascade); sized for the 60 km frame")
+    ap.add_argument("--capacity", type=int, default=2048,
+                    help="flat tile capacity. 2048 covers the 1512-tile "
+                         "60 km frame with 1.35x headroom — the same "
+                         "next-pow2 sizing rule as the planar headline "
+                         "(4096 for 2582 tiles); overflow is asserted 0")
     args = ap.parse_args()
 
     import jax
@@ -89,7 +94,7 @@ def main() -> None:
 
     terrain = bt.Terrain(config)
     terrain.add_view(
-        "cam", bt.TerrainViewConfig(tile_capacity=4096),
+        "cam", bt.TerrainViewConfig(tile_capacity=args.capacity),
         queue_capacity=args.queue, culling=True,
     )
     if args.adaptive:
@@ -130,6 +135,7 @@ def main() -> None:
         "altitude_km": args.altitude_km,
         "lod_count": LODS,
         "tiles": tiles,
+        "capacity": args.capacity,
         "overflow": overflow,
         "device_ms": round(ms, 3),
     }
