@@ -105,6 +105,15 @@ def _load() -> Optional[ctypes.CDLL]:
         f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         f64p, ctypes.c_int64, f64p, ctypes.c_int64, f32p,
     ]
+    lib.tr_quantize.argtypes = [
+        f32p, ctypes.c_int64, ctypes.c_double, ctypes.c_int32,
+        ctypes.c_void_p,
+    ]
+    lib.tr_downsample.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p,
+    ]
     _lib = lib
     return lib
 
@@ -333,6 +342,42 @@ def split_bilinear(source: np.ndarray, px: np.ndarray,
         source.ctypes.data_as(f32p), H, W, C,
         _f64p(px), px.shape[0], _f64p(py), py.shape[0],
         out.ctypes.data_as(f32p),
+    )
+    return out
+
+
+def quantize(src: np.ndarray, max_value: float, dtype) -> np.ndarray:
+    """Quantize a f32 array to u8/u16 exactly like
+    ``np.clip(np.rint(src * max_value), 0, max_value).astype(dtype)``
+    (f32 multiply, round half-to-even — terrain_runtime.cpp tr_quantize)."""
+    lib = _load()
+    assert lib is not None
+    src = np.ascontiguousarray(src, np.float32)
+    dtype = np.dtype(dtype)
+    out = np.empty(src.shape, dtype)
+    lib.tr_quantize(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), src.size,
+        float(max_value), _DTYPE_CODES[dtype], out.ctypes.data,
+    )
+    return out
+
+
+def downsample(children, texture_size: int, border_size: int,
+               dtype, channels: int) -> np.ndarray:
+    """Native twin of ops/preprocess.downsample_tile (f64-accumulated
+    nodata-masked 2x2 child average; terrain_runtime.cpp tr_downsample)."""
+    lib = _load()
+    assert lib is not None
+    dtype = np.dtype(dtype)
+    kept = [
+        np.ascontiguousarray(c, dtype) if c is not None else None
+        for c in children
+    ]
+    out = np.empty((texture_size, texture_size, channels), dtype)
+    lib.tr_downsample(
+        *(c.ctypes.data if c is not None else None for c in kept),
+        _DTYPE_CODES[dtype], texture_size, border_size, channels,
+        out.ctypes.data,
     )
     return out
 

@@ -827,4 +827,117 @@ void tr_sample_bilinear(const void *data, int32_t size, int32_t channels,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Preprocess hot loops (host path). Byte-identical twins of the numpy
+// formulas in ops/preprocess.py (the oracle the device path is parity-
+// tested against): quantization uses f32 multiply + round-half-to-even
+// exactly like `np.rint(region_f32 * max_value)` (numpy 2 weak promotion
+// keeps f32); downsample accumulates the nodata-masked 2x2 child average
+// in f64 like downsample_tile.
+
+// dtype codes match native/__init__._DTYPE_CODES: 0 = u8, 1 = u16.
+void tr_quantize(const float *src, int64_t n, double max_value,
+                 int32_t dtype_code, void *out) {
+  const float mv = static_cast<float>(max_value);
+  if (dtype_code == 0) {
+    uint8_t *o = static_cast<uint8_t *>(out);
+    for (int64_t i = 0; i < n; ++i) {
+      float v = nearbyintf(src[i] * mv);
+      if (v < 0.0f) v = 0.0f;
+      if (v > mv) v = mv;
+      o[i] = static_cast<uint8_t>(v);
+    }
+  } else {
+    uint16_t *o = static_cast<uint16_t *>(out);
+    for (int64_t i = 0; i < n; ++i) {
+      float v = nearbyintf(src[i] * mv);
+      if (v < 0.0f) v = 0.0f;
+      if (v > mv) v = mv;
+      o[i] = static_cast<uint16_t>(v);
+    }
+  }
+}
+
+// Parent tile from its 4 children (ops/preprocess.py::downsample_tile,
+// downsample.wgsl:12-45): parent center texel = nodata-masked f64 average
+// of the 2x2 child-center quad, rounded half-to-even; borders zero.
+// children ordered (2x,2y), (2x+1,2y), (2x,2y+1), (2x+1,2y+1); null ==
+// missing (counts as nodata). dtype code 0 = u8, 1 = u16.
+template <typename T>
+static void downsample_impl(const void *const children[4], int64_t ts,
+                            int64_t b, int64_t C, T *out) {
+  const int64_t center = ts - 2 * b;
+  const int64_t half = center / 2;  // center is even in every real config,
+  // so a parent texel's 2x2 child quad never straddles two children:
+  // quadrant (qy, qx) of the parent center reads only child 2*qy + qx.
+  double acc[4];
+  for (int qy = 0; qy < 2; ++qy) {
+    for (int qx = 0; qx < 2; ++qx) {
+      const T *data = static_cast<const T *>(children[2 * qy + qx]);
+      if (data == nullptr) continue;  // nodata: borders stay memset zero
+      for (int64_t i2 = 0; i2 < half; ++i2) {
+        const int64_t i = qy * half + i2;  // parent center row
+        const T *r0 = data + ((b + 2 * i2) * ts + b) * C;
+        const T *r1 = r0 + ts * C;
+        T *o = out + ((b + i) * ts + (b + qx * half)) * C;
+        if (C == 1) {
+          // single channel: nodata == the value itself is zero, so the
+          // masked sum is just the plain sum (zeros add nothing) and the
+          // count is branchless
+          for (int64_t j2 = 0; j2 < half; ++j2) {
+            const double v00 = r0[2 * j2], v01 = r0[2 * j2 + 1];
+            const double v10 = r1[2 * j2], v11 = r1[2 * j2 + 1];
+            const int count = (v00 != 0.0) + (v01 != 0.0) + (v10 != 0.0) +
+                              (v11 != 0.0);
+            const double sum = v00 + v01 + v10 + v11;
+            o[j2] = static_cast<T>(
+                count == 4 ? nearbyint(sum * 0.25)
+                           : (count > 0 ? nearbyint(sum / count) : 0));
+          }
+          continue;
+        }
+        for (int64_t j2 = 0; j2 < half; ++j2) {
+          const T *t00 = r0 + 2 * j2 * C;
+          const T *t01 = t00 + C;
+          const T *t10 = r1 + 2 * j2 * C;
+          const T *t11 = t10 + C;
+          int count = 0;
+          for (int64_t c = 0; c < C; ++c) acc[c] = 0.0;
+          // tap order (dy, dx) = (0,0), (0,1), (1,0), (1,1) matches the
+          // numpy quads reshape
+          const T *taps[4] = {t00, t01, t10, t11};
+          for (int t = 0; t < 4; ++t) {
+            bool nz = false;
+            for (int64_t c = 0; c < C; ++c)
+              if (taps[t][c] != 0) { nz = true; break; }
+            if (!nz) continue;
+            ++count;
+            for (int64_t c = 0; c < C; ++c)
+              acc[c] += static_cast<double>(taps[t][c]);
+          }
+          for (int64_t c = 0; c < C; ++c) {
+            const double avg = count > 0 ? acc[c] / count : 0.0;
+            o[j2 * C + c] = static_cast<T>(nearbyint(avg));
+          }
+        }
+      }
+    }
+  }
+}
+
+void tr_downsample(const void *c0, const void *c1, const void *c2,
+                   const void *c3, int32_t dtype_code, int64_t texture_size,
+                   int64_t border, int64_t channels, void *out) {
+  const void *children[4] = {c0, c1, c2, c3};
+  const int64_t ts = texture_size, b = border, C = channels;
+  const int64_t out_bytes = ts * ts * C * (dtype_code == 0 ? 1 : 2);
+  std::memset(out, 0, static_cast<size_t>(out_bytes));
+  if (dtype_code == 0) {
+    downsample_impl<uint8_t>(children, ts, b, C, static_cast<uint8_t *>(out));
+  } else {
+    downsample_impl<uint16_t>(children, ts, b, C,
+                              static_cast<uint16_t *>(out));
+  }
+}
+
 }  // extern "C"

@@ -22,6 +22,8 @@ runs on the device.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -90,6 +92,7 @@ def split_mosaic(
     bottom_right: tuple[float, float],
     row_band: int = 2048,
     use_device: bool = False,
+    naive: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Resample the source into the full lod mosaic (count*center)^2.
 
@@ -116,17 +119,28 @@ def split_mosaic(
     px = src_positions(0)
     py = src_positions(1)
 
-    mx = _tent_matrix(px, W)
     bands = []
     if use_device:
         # offline device path for deployments with fast host<->device links;
         # on tunneled-TPU test rigs the D2H transfer dominates (~0.5 MB/s
         # measured), so the default is host numpy matmuls
+        mx = _tent_matrix(px, W)
         src_dev = jnp.asarray(source, jnp.float32)
         for y0 in range(0, P, row_band):
             my = _tent_matrix(py[y0 : y0 + row_band], H)
             tmp = _resize_rows(jnp.asarray(my), src_dev)  # (band, W, C)
             bands.append(np.asarray(_resize_cols(tmp, jnp.asarray(mx))))
+    elif naive:
+        # pinned CPU-reference oracle: dense tent-matrix matmuls, the
+        # straightforward single-thread implementation of split.wgsl's
+        # per-texel bilinear (the baseline the >10x preprocess target is
+        # measured against — see bench.py). Value-identical to the fast
+        # paths below.
+        mx = _tent_matrix(px, W)
+        for y0 in range(0, P, row_band):
+            my = _tent_matrix(py[y0 : y0 + row_band], H)
+            band = np.einsum("kh,hwc->kwc", my, source).astype(np.float32)
+            bands.append(np.einsum("kwc,lw->klc", band, mx).astype(np.float32))
     else:
         # direct 2-tap separable bilinear: value-identical to the dense
         # tent matmul (each tent row has exactly two nonzero weights,
@@ -163,9 +177,16 @@ def split_mosaic(
     y0_ = np.clip(np.floor(py).astype(np.int64), 0, H - 1)
     y1 = np.clip(y0_ + 1, 0, H - 1)
     nz = source[..., 0] != 0
-    valid = (
-        nz[y0_][:, x0] & nz[y0_][:, x1] & nz[y1][:, x0] & nz[y1][:, x1]
-    )
+    if nz.all():
+        # nodata-free source (the common case): every tap is nonzero
+        valid = np.ones((P, P), bool)
+    else:
+        # factorized 4-tap test: A[y, k] = nz[y, x0[k]] & nz[y, x1[k]]
+        # collapses the x taps on the small (H, P) shape, then two
+        # contiguous row-gathers finish the y taps (the naive 4x
+        # (P, P) column-gather formulation measured 2.7 s at P = 4064)
+        A = nz[:, x0] & nz[:, x1]  # (H, P)
+        valid = A[y0_] & A[y1]
     return mosaic, valid
 
 
@@ -179,13 +200,15 @@ def extract_tile_from_mosaic(
     dtype: np.dtype,
     max_value: float,
     existing: np.ndarray | None = None,
+    quantized: np.ndarray | None = None,
 ) -> np.ndarray:
     """Cut one tile out of the mosaic: center texels from the resample
     (where valid), borders zero, invalid texels keep existing data
-    (split.wgsl:19-42)."""
+    (split.wgsl:19-42). ``quantized`` optionally passes the whole mosaic
+    already quantized to ``dtype`` (native.quantize — bit-identical to the
+    per-tile formula below) so the hot path is a plain slice copy."""
     center = texture_size - 2 * border_size
     y0, x0 = tile_y * center, tile_x * center
-    region = mosaic[y0 : y0 + center, x0 : x0 + center]
     v = valid[y0 : y0 + center, x0 : x0 + center]
 
     tile = (
@@ -194,7 +217,11 @@ def extract_tile_from_mosaic(
         else np.zeros((texture_size, texture_size, mosaic.shape[-1]), dtype)
     )
     b = border_size
-    quant = np.clip(np.rint(region * max_value), 0, max_value).astype(dtype)
+    if quantized is not None:
+        quant = quantized[y0 : y0 + center, x0 : x0 + center]
+    else:
+        region = mosaic[y0 : y0 + center, x0 : x0 + center]
+        quant = np.clip(np.rint(region * max_value), 0, max_value).astype(dtype)
     center_view = tile[b : b + center, b : b + center]
     tile[b : b + center, b : b + center] = np.where(v[..., None], quant, center_view)
     return tile
@@ -209,7 +236,28 @@ def downsample_tile(
     center texel = nodata-masked average of a 2x2 child-center quad;
     borders zero. ``children`` ordered (2x, 2y), (2x+1, 2y), (2x, 2y+1),
     (2x+1, 2y+1) (coordinate.rs:197-206); missing children count as nodata.
+
+    Dispatches to the C++ twin when available (same f64 accumulation and
+    half-to-even rounding; parity-fuzzed in test_native.py);
+    :func:`downsample_tile_numpy` stays as the oracle.
     """
+    c = next((ch for ch in children if ch is not None), None)
+    if c is not None and c.dtype in (np.uint8, np.uint16):
+        from bevy_terrain_tpu import native as _native
+
+        if _native.available():
+            return _native.downsample(
+                children, texture_size, border_size, c.dtype, c.shape[-1]
+            )
+    return downsample_tile_numpy(children, texture_size, border_size)
+
+
+def downsample_tile_numpy(
+    children: list[np.ndarray | None],
+    texture_size: int,
+    border_size: int,
+) -> np.ndarray:
+    """Numpy oracle for :func:`downsample_tile` (downsample.wgsl:12-45)."""
     b = border_size
     center = texture_size - 2 * border_size
     c = children[0] if children[0] is not None else next(
@@ -266,20 +314,15 @@ def _project_texels(coords_xy: np.ndarray, original_side: int, projected_side: i
     return out
 
 
-def stitch_tile(
-    tile: np.ndarray,
-    tile_side: int,
-    neighbour_tiles: list[tuple[int, np.ndarray | None]],
-    border_size: int,
-) -> np.ndarray:
-    """Fill the 8 border regions from neighbours (stitch.wgsl:53-118).
-
-    ``neighbour_tiles``: 8 (side, data) pairs in the order up, right, down,
-    left, up-left, up-right, down-right, down-left (coordinate.rs:209-218);
-    data None == missing -> clamp-repeat own edge (stitch.wgsl:98-103).
-    """
-    size = tile.shape[0]
-    b = border_size
+@functools.lru_cache(maxsize=None)
+def _stitch_region_maps(n: int, tile_side: int, n_side: int, size: int,
+                        b: int):
+    """Cached gather maps for border region ``n`` (up, right, down, left,
+    up-left, up-right, down-right, down-left): destination (ys, xs) and,
+    keyed by the (tile_side, n_side) cross-face remap, the source
+    (rys, rxs) into the neighbour / the clamp-repeat (cys, cxs) into the
+    tile itself. The maps are pure functions of the geometry, so the per-
+    tile meshgrid/stack/remap work (measured ~1.7 ms/tile) runs once."""
     cs = size - 2 * b
     off = b + cs
     bounds = [
@@ -296,18 +339,38 @@ def stitch_tile(
         (0, cs), (-cs, 0), (0, -cs), (cs, 0),
         (cs, cs), (-cs, cs), (-cs, -cs), (cs, -cs),
     ]
+    (x, y, w, h), (ox, oy) = bounds[n], offsets[n]
+    xs, ys = np.meshgrid(np.arange(x, x + w), np.arange(y, y + h), indexing="xy")
+    coords = np.stack([xs.ravel(), ys.ravel()], axis=-1)
+    # clamp-repeat own center edge (stitch.wgsl:98-103)
+    cxs = np.clip(coords[:, 0], b, b + cs - 1)
+    cys = np.clip(coords[:, 1], b, b + cs - 1)
+    shifted = coords + np.array([ox, oy])
+    remapped = _project_texels(shifted, tile_side, n_side, size)
+    return (ys.ravel(), xs.ravel(), remapped[:, 1], remapped[:, 0], cys, cxs)
+
+
+def stitch_tile(
+    tile: np.ndarray,
+    tile_side: int,
+    neighbour_tiles: list[tuple[int, np.ndarray | None]],
+    border_size: int,
+) -> np.ndarray:
+    """Fill the 8 border regions from neighbours (stitch.wgsl:53-118).
+
+    ``neighbour_tiles``: 8 (side, data) pairs in the order up, right, down,
+    left, up-left, up-right, down-right, down-left (coordinate.rs:209-218);
+    data None == missing -> clamp-repeat own edge (stitch.wgsl:98-103).
+    """
+    size = tile.shape[0]
+    b = border_size
     out = tile.copy()
-    for n, ((x, y, w, h), (ox, oy)) in enumerate(zip(bounds, offsets)):
-        xs, ys = np.meshgrid(np.arange(x, x + w), np.arange(y, y + h), indexing="xy")
-        coords = np.stack([xs.ravel(), ys.ravel()], axis=-1)
-        n_side, n_data = neighbour_tiles[n]
+    for n, (n_side, n_data) in enumerate(neighbour_tiles):
+        ys, xs, rys, rxs, cys, cxs = _stitch_region_maps(
+            n, tile_side, n_side, size, b
+        )
         if n_data is None:
-            # clamp-repeat own center edge (stitch.wgsl:98-103)
-            rx = np.clip(coords[:, 0], b, b + cs - 1)
-            ry = np.clip(coords[:, 1], b, b + cs - 1)
-            out[coords[:, 1], coords[:, 0]] = tile[ry, rx]
+            out[ys, xs] = tile[cys, cxs]
         else:
-            shifted = coords + np.array([ox, oy])
-            remapped = _project_texels(shifted, tile_side, n_side, size)
-            out[coords[:, 1], coords[:, 0]] = n_data[remapped[:, 1], remapped[:, 0]]
+            out[ys, xs] = n_data[rys, rxs]
     return out

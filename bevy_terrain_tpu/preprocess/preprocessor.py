@@ -91,7 +91,8 @@ class Preprocessor:
     """
 
     def __init__(self, tile_atlas: TileAtlas, loader=None,
-                 device: Optional[bool] = None, batch_tiles: int = 256):
+                 device: Optional[bool] = None, batch_tiles: int = 256,
+                 naive: bool = False):
         """``device=True`` runs split/downsample/stitch as jitted whole-lod
         stack ops (ops/preprocess_device.py — SURVEY section 2.3's
         device-code commitment); ``device=False`` keeps the per-tile host
@@ -101,7 +102,14 @@ class Preprocessor:
         so it is only chosen when the D2H link is healthy
         (utils/transfer.d2h_is_fast — tunneled test rigs measure ~50 KB/s
         readback and must preprocess on host). ``batch_tiles`` bounds the
-        device stack size at deep lods."""
+        device stack size at deep lods.
+
+        ``naive=True`` pins the single-thread numpy CPU-reference oracle
+        (dense tent-matmul split, numpy downsample, no native helpers) —
+        the baseline the BASELINE.md >10x preprocess target is measured
+        against. Output stays byte-identical to every other path."""
+        if naive:
+            device = False
         if device is None:
             from bevy_terrain_tpu.utils.transfer import d2h_is_fast
 
@@ -109,6 +117,7 @@ class Preprocessor:
         self.atlas = tile_atlas
         self.loader = loader or _default_loader
         self.device = device
+        self.naive = naive
         self.batch_tiles = batch_tiles
         self._jobs: list = []
         self.start_time: Optional[float] = None
@@ -190,24 +199,38 @@ class Preprocessor:
         lods = list(dataset.lod_range)[::-1]
         finest = lods[0]
         mosaic, valid = split_mosaic(
-            source, finest, cfg.center_size, dataset.top_left, dataset.bottom_right
+            source, finest, cfg.center_size, dataset.top_left,
+            dataset.bottom_right, naive=self.naive,
         )
+        # quantize the whole mosaic once (bit-identical to the per-tile
+        # formula; C++ single pass) so extraction is a plain slice copy
+        quantized = None
+        dtype = np.dtype(cfg.format.dtype)
+        if not self.naive and dtype in (np.uint8, np.uint16):
+            from bevy_terrain_tpu import native as _native
+
+            if _native.available():
+                quantized = _native.quantize(mosaic, cfg.format.max_value, dtype)
         for c in dataset.overlapping_tiles(finest):
             atlas_index = self.atlas.state.get_or_allocate_tile(c)
             existing = attachment.data[atlas_index]
             tile = extract_tile_from_mosaic(
                 mosaic, valid, c.x, c.y, cfg.texture_size, cfg.border_size,
                 cfg.format.dtype, cfg.format.max_value, existing,
+                quantized=quantized,
             )
             attachment.data[atlas_index] = tile
 
+        from bevy_terrain_tpu.ops.preprocess import downsample_tile_numpy
+
+        downsample = downsample_tile_numpy if self.naive else downsample_tile
         for lod in lods[1:]:
             for c in dataset.overlapping_tiles(lod):
                 children = [
                     self._data(attachment, child) for child in c.children()
                 ]
                 atlas_index = self.atlas.state.get_or_allocate_tile(c)
-                attachment.data[atlas_index] = downsample_tile(
+                attachment.data[atlas_index] = downsample(
                     children, cfg.texture_size, cfg.border_size
                 )
 

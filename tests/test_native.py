@@ -372,3 +372,46 @@ class TestNativeViewAnchors:
             np.testing.assert_array_equal(tree.origins, o)
             np.testing.assert_array_equal(tree.view_tile_int, i)
             np.testing.assert_allclose(tree.view_tile_frac, f, atol=1e-6)
+
+
+class TestPreprocessHelpers:
+    """C++ preprocess hot loops vs their numpy oracles (bit-exact)."""
+
+    def test_quantize_matches_numpy(self):
+        native = pytest.importorskip("bevy_terrain_tpu.native")
+        if not native.available():
+            pytest.skip("native runtime unavailable")
+        rng = np.random.default_rng(11)
+        for dtype, mv in ((np.uint16, 65535.0), (np.uint8, 255.0)):
+            src = (rng.random((257, 93, 2), np.float32) * 1.2 - 0.05).astype(
+                np.float32
+            )
+            ref = np.clip(np.rint(src * mv), 0, mv).astype(dtype)
+            got = native.quantize(src, mv, dtype)
+            np.testing.assert_array_equal(ref, got)
+
+    def test_downsample_matches_numpy(self):
+        native = pytest.importorskip("bevy_terrain_tpu.native")
+        if not native.available():
+            pytest.skip("native runtime unavailable")
+        from bevy_terrain_tpu.ops.preprocess import downsample_tile_numpy
+
+        rng = np.random.default_rng(12)
+        for trial in range(20):
+            ts = int(rng.choice([16, 40, 128]))
+            C = int(rng.choice([1, 2, 4]))
+            dtype = np.uint16 if trial % 2 == 0 else np.uint8
+            mv = 65535 if dtype == np.uint16 else 255
+            children = []
+            for _ in range(4):
+                if rng.random() < 0.2:
+                    children.append(None)
+                    continue
+                ch = rng.integers(0, mv + 1, (ts, ts, C)).astype(dtype)
+                ch[rng.random((ts, ts)) < 0.3] = 0  # nodata texels
+                children.append(ch)
+            ref = downsample_tile_numpy(children, ts, 2)
+            got = native.downsample(children, ts, 2, dtype, C)
+            np.testing.assert_array_equal(
+                np.asarray(ref, np.int64), np.asarray(got, np.int64)
+            )

@@ -230,3 +230,47 @@ class TestPreprocessorPipeline:
         # value 0.5
         left_border = tile[b + 5, 0, 0]
         assert abs(int(left_border) - int(0.1 * 5 * 65535)) < 400
+
+
+class TestFastPathParity:
+    """The optimized host pipeline (C++ split/quantize/downsample, cached
+    stitch maps) must stay byte-identical to the pinned naive CPU-reference
+    oracle (Preprocessor(naive=True)) — the baseline BASELINE.md's >10x
+    preprocess target is measured against."""
+
+    def test_naive_and_fast_paths_byte_identical(self, tmp_path):
+        import hashlib
+
+        n = 256
+        u, v = np.meshgrid(
+            (np.arange(n) + 0.5) / n, (np.arange(n) + 0.5) / n, indexing="xy"
+        )
+        src = field(u, v).astype(np.float32)
+        src[40:60, 10:30] = 0.0  # nodata region exercises validity paths
+        array_to_source(src, tmp_path / "src.png")
+        model = TerrainModel.planar(np.zeros(3), 1000.0, 0.0, 100.0)
+
+        def run(path, naive):
+            config = TerrainConfig(
+                lod_count=3, model=model, atlas_size=64, path=path,
+                assets_root=str(tmp_path / "assets"), attachments=(ATT,),
+            )
+            atlas = TileAtlas(config)
+            Preprocessor(atlas, device=False, naive=naive).clear_attachment(
+                0
+            ).preprocess_tile(
+                PreprocessDataset(
+                    attachment_index=0, path=str(tmp_path / "src.png"),
+                    lod_range=range(0, 3),
+                )
+            ).run(verbose=False)
+            h = hashlib.sha256()
+            root = tmp_path / "assets" / path / "data" / "height"
+            files = sorted(root.glob("*.bin"))
+            assert files, "no tiles written"
+            for f in files:
+                h.update(f.name.encode())
+                h.update(f.read_bytes())
+            return h.hexdigest()
+
+        assert run("fast", False) == run("naive", True)

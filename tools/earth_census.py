@@ -73,7 +73,7 @@ def main() -> None:
 
     terrain = bt.Terrain(config)
     terrain.add_view(
-        "cam", bt.TerrainViewConfig(tile_capacity=4096),
+        "cam", bt.TerrainViewConfig(tile_capacity=2048),
         queue_capacity=2048, culling=True,
     )
 
