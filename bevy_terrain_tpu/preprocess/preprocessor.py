@@ -92,7 +92,7 @@ class Preprocessor:
 
     def __init__(self, tile_atlas: TileAtlas, loader=None,
                  device: Optional[bool] = None, batch_tiles: int = 256,
-                 naive: bool = False):
+                 naive: bool = False, readback: Optional[str] = None):
         """``device=True`` runs split/downsample/stitch as jitted whole-lod
         stack ops (ops/preprocess_device.py — SURVEY section 2.3's
         device-code commitment); ``device=False`` keeps the per-tile host
@@ -107,13 +107,26 @@ class Preprocessor:
         ``naive=True`` pins the single-thread numpy CPU-reference oracle
         (dense tent-matmul split, numpy downsample, no native helpers) —
         the baseline the BASELINE.md >10x preprocess target is measured
-        against. Output stays byte-identical to every other path."""
+        against. Output stays byte-identical to every other path.
+
+        ``readback`` (device path only) selects how stitched tiles return
+        to the host: ``"full"`` pulls whole stitched stacks (right when
+        D2H runs at bus speed); ``"delta"`` keeps split/downsample
+        interiors host-side (fast C++ path, bit-identical to the device
+        ops) and pulls ONLY the stitched border strips (~1.5% of the
+        bytes — stitch never writes interiors, stitch.wgsl:58-67). Default
+        auto-selects by D2H link health."""
         if naive:
             device = False
         if device is None:
             from bevy_terrain_tpu.utils.transfer import d2h_is_fast
 
             device = d2h_is_fast()
+        if readback is None and device:
+            from bevy_terrain_tpu.utils.transfer import d2h_is_fast
+
+            readback = "full" if d2h_is_fast() else "delta"
+        self.readback = readback or "full"
         self.atlas = tile_atlas
         self.loader = loader or _default_loader
         self.device = device
@@ -190,8 +203,11 @@ class Preprocessor:
         return attachment.data[index.atlas_index] if index is not None else None
 
     def _split_and_downsample(self, dataset: PreprocessDataset) -> None:
-        if self.device:
+        if self.device and self.readback == "full":
             return self._split_and_downsample_device(dataset)
+        # device "delta" mode intentionally runs the HOST split/downsample
+        # (bit-identical to the device stack ops) so interiors never need
+        # to cross the degraded D2H link
         attachment = self._attachment(dataset)
         cfg = attachment.config
         source = self.loader(dataset.path, cfg)
@@ -382,7 +398,63 @@ class Preprocessor:
             )
         self._pump_saves()
 
+    def _stitch_and_save_layer_delta(self, dataset: PreprocessDataset,
+                                     lod: int) -> None:
+        """Device stitch with border-delta readback: upload the lod's
+        pre-stitch tiles (H2D is the healthy direction), stitch on device,
+        pull ONLY the border strips and splice them into the host-known
+        interiors. Byte-identical to the host stitch (parity-tested)."""
+        import jax
+        import jax.numpy as jnp
+
+        from bevy_terrain_tpu.ops import preprocess_device as ppd
+
+        attachment = self._attachment(dataset)
+        cfg = attachment.config
+        spherical = self.atlas.model.is_spherical
+        ai = dataset.attachment_index
+        coords = [
+            c for c in dataset.overlapping_tiles(lod)
+            if self._data(attachment, c) is not None
+        ]
+        if not coords:
+            return
+        index_of = {c: i for i, c in enumerate(coords)}
+        rows = [self._data(attachment, c) for c in coords]
+        extra = []
+        for c in coords:
+            for n in c.neighbours(spherical):
+                if (not n.is_valid or n in index_of
+                        or n not in self.atlas.state.existing_tiles):
+                    continue
+                d = self._data(attachment, n)
+                if d is None:
+                    continue
+                index_of[n] = len(coords) + len(extra)
+                extra.append(d)
+        full = jnp.asarray(np.stack(rows + extra).astype(np.float32))
+        nbr_idx, nbr_side = ppd.stitch_plan(coords, index_of, spherical)
+        stitched = ppd.stitch_stack(
+            full, np.array([c.side for c in coords]),
+            jnp.asarray(nbr_idx), nbr_side, cfg.border_size, spherical,
+        )
+        strips = ppd.extract_borders(
+            stitched.astype(cfg.format.dtype), cfg.border_size
+        )
+        host_strips = np.asarray(jax.device_get(strips))  # ~1.5% of bytes
+        for i, c in enumerate(coords):
+            state = self.atlas.state.tile_states[c]
+            tile = attachment.data[state.atlas_index].copy()
+            ppd.composite_borders(tile, host_strips[i], cfg.border_size)
+            attachment.data[state.atlas_index] = tile
+            self.atlas.state.to_save.append(
+                AtlasTileAttachment(c, state.atlas_index, ai)
+            )
+        self._pump_saves()
+
     def _stitch_and_save_layer(self, dataset: PreprocessDataset, lod: int) -> None:
+        if self.device and self.readback == "delta":
+            return self._stitch_and_save_layer_delta(dataset, lod)
         if self.device:
             return self._stitch_and_save_layer_device(dataset, lod)
         attachment = self._attachment(dataset)

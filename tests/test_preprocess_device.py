@@ -140,7 +140,7 @@ class TestDeviceHostParity:
     byte-identical .bin artifacts + config.tc (the on-disk format is the
     checkpoint; SURVEY section 5)."""
 
-    def _run(self, tmp_path, device, spherical):
+    def _run(self, tmp_path, device, spherical, readback="full"):
         from bevy_terrain_tpu.config import (
             AttachmentConfig, TerrainConfig)
         from bevy_terrain_tpu.formats.tiff import array_to_source
@@ -150,7 +150,7 @@ class TestDeviceHostParity:
         from bevy_terrain_tpu.terrain_data import TileAtlas
 
         rng = np.random.default_rng(11)
-        root = tmp_path / ("dev" if device else "host")
+        root = tmp_path / (("dev" + readback) if device else "host")
         root.mkdir()
         att = AttachmentConfig(
             name="height", texture_size=68, border_size=2, mip_level_count=2)
@@ -170,7 +170,9 @@ class TestDeviceHostParity:
             lod_count=2, model=model, atlas_size=64, path="t",
             attachments=(att,), assets_root=str(root / "assets"))
         atlas = TileAtlas(config)
-        pp = Preprocessor(atlas, device=device).clear_attachment(0)
+        pp = Preprocessor(
+            atlas, device=device, readback=readback
+        ).clear_attachment(0)
         if spherical:
             pp.preprocess_spherical(SphericalDataset(
                 attachment_index=0, paths=paths, lod_range=range(0, 2)))
@@ -199,3 +201,16 @@ class TestDeviceHostParity:
             diff = np.abs(d.astype(np.int64) - h.astype(np.int64))
             assert diff.max() <= 1, name
             assert (diff != 0).mean() < 0.02, name
+
+    @pytest.mark.parametrize("spherical", [False, True])
+    def test_delta_readback_byte_exact(self, tmp_path, spherical):
+        """Border-delta mode: host interiors + device-stitched border
+        strips must be byte-EXACT vs the pure host path (stitch is a pure
+        texel permutation — no arithmetic to skew)."""
+        delta_bins, delta_tc = self._run(
+            tmp_path, True, spherical, readback="delta")
+        host_bins, host_tc = self._run(tmp_path, False, spherical)
+        assert set(delta_bins) == set(host_bins) and delta_bins
+        assert delta_tc == host_tc
+        for name in sorted(delta_bins):
+            assert delta_bins[name] == host_bins[name], name
