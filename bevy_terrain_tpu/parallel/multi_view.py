@@ -316,6 +316,7 @@ class MultiViewTerrain:
             self._place_blocks()
             if rebuild:
                 self._build_step()
+        self._last_stacked = stacked  # kept for HLO inspection (tools/)
         out = self._step(self._blocks, stacked)
         return {
             v: MultiViewFrameOutput(out, i) for i, v in enumerate(self.view_ids)

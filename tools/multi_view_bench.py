@@ -13,9 +13,13 @@ Three measurements, all on the bench.py 8k^2 planar scene:
    program; the views axis adds no cross-device traffic with a
    replicated atlas).
 
-``--cpu`` instead measures the virtual 8-device mesh (XLA fetch path on
-both sides, the backend CPU tests use): per-view time of the
-MultiViewTerrain step vs the single-view staged step.
+``--cpu`` instead checks the SCALING STRUCTURE on the virtual 8-device
+mesh: the replicated-atlas multi-view step must compile to a program
+with NO cross-device collectives (per-device cost is then independent
+of mesh size — each chip runs the single-view program), while the
+sharded-atlas step must show its psum/all-gather fetch. Wall-clock on
+the virtual mesh is NOT evidence either way — the 8 "devices" share
+one host's cores.
 
 Usage: python tools/multi_view_bench.py [--cpu]
 """
@@ -180,60 +184,73 @@ def main_tpu() -> None:
 def main_cpu() -> None:
     import os
 
-    os.environ.setdefault(
-        "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
-    )
+    # sitecustomize pre-imports jax (axon TPU platform); switch before the
+    # backend initializes, as __graft_entry__.dryrun_multichip does
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
     import jax
 
-    assert len(jax.devices()) >= 8, "run with JAX_PLATFORMS=cpu"
-    import time
+    jax.config.update("jax_platforms", "cpu")
+    assert len(jax.devices()) >= 8, "virtual 8-device CPU mesh unavailable"
+    import tempfile
 
-    from bevy_terrain_tpu.ops import meshgen, patch_sampling, refinement
+    from bevy_terrain_tpu.config import (
+        AttachmentConfig, TerrainConfig, TerrainViewConfig,
+    )
+    from bevy_terrain_tpu.math import TerrainModel
+    from bevy_terrain_tpu.parallel.multi_view import MultiViewTerrain
+    from bevy_terrain_tpu.utils.synthetic import generate_planar_dataset
 
-    cfg, plan, blocks, u1, u2 = build_scene(capacity=1024, queue=1024)
+    root = tempfile.mkdtemp(prefix="mv_struct_")
+    att = AttachmentConfig(
+        name="height", texture_size=512, border_size=2, mip_level_count=4
+    )
+    generate_planar_dataset("terrains/mvs", 3, att, root=root)
+    config = TerrainConfig(
+        lod_count=3,
+        model=TerrainModel.planar(np.zeros(3), 8000.0, 0.0, 250.0),
+        atlas_size=128, path="terrains/mvs", attachments=(att,),
+        assets_root=root,
+    )
+    rng = np.random.default_rng(3)
+    positions = {
+        f"v{i}": np.array([
+            rng.uniform(-300, 300), rng.uniform(80, 400), rng.uniform(-300, 300)
+        ])
+        for i in range(8)
+    }
 
-    def staged(block_array, u):
-        tiles = refinement.refine_tiles(u, cfg)
-        mesh, tiles = meshgen.generate_mesh_grid(
-            tiles, block_array, u, cfg, plan, 65535.0
+    COLLECTIVES = ("all-gather", "all-reduce", "collective-permute",
+                   "all-to-all", "reduce-scatter")
+
+    for shard_atlas in (False, True):
+        mvt = MultiViewTerrain(
+            config, list(positions), devices=jax.devices()[:8],
+            view_config=TerrainViewConfig(
+                tile_capacity=512, morph_distance=2.0, blend_distance=1.0
+            ),
+            queue_capacity=1024, shard_atlas=shard_atlas,
         )
-        return tiles.tile_count, mesh.heights
-
-    single = jax.jit(staged)
-    jax.block_until_ready(single(blocks, u1))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        jax.block_until_ready(single(blocks, u1))
-    t1 = (time.perf_counter() - t0) / 5
-
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-    mesh = Mesh(np.asarray(jax.devices()[:8]), ("views",))
-    stacked = jax.tree.map(
-        lambda a, b: np.stack([np.asarray(a), np.asarray(b)] * 4), u1, u2
-    )
-    stacked = jax.device_put(stacked, NamedSharding(mesh, P("views")))
-    blocks8 = jax.device_put(blocks, NamedSharding(mesh, P()))
-
-    def sharded(block_array, us):
-        return jax.vmap(lambda u: staged(block_array, u))(us)
-
-    step8 = jax.jit(
-        jax.shard_map(
-            sharded, mesh=mesh, in_specs=(P(), P("views")),
-            out_specs=P("views"), check_vma=False,
-        )
-    )
-    jax.block_until_ready(step8(blocks8, stacked))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        jax.block_until_ready(step8(blocks8, stacked))
-    t8 = (time.perf_counter() - t0) / 5
-    print(
-        f"cpu virtual 8-mesh: single-view {t1 * 1e3:.1f} ms, 8 views "
-        f"{t8 * 1e3:.1f} ms wall -> per-view {t8 / t1:.2f}x of single "
-        f"(<= ~1.2x means the views axis scales)"
-    )
+        mvt.update(positions)
+        # re-lower the exact dispatched step from the live instance's args
+        hlo = mvt._step.lower(
+            mvt._blocks, mvt._last_stacked
+        ).compile().as_text()
+        found = sorted({c for c in COLLECTIVES if c in hlo})
+        label = "sharded-atlas" if shard_atlas else "replicated-atlas"
+        if shard_atlas:
+            assert found, "sharded-atlas step lost its collective fetch"
+            print(f"{label}: collectives {found} (expected: the psum fetch)")
+        else:
+            assert not found, f"replicated-atlas step has collectives: {found}"
+            print(
+                f"{label}: NO cross-device collectives -> per-device cost "
+                "is mesh-size-independent (each chip runs the single-view "
+                "program; TPU per-view time measured in the default mode)"
+            )
 
 
 if __name__ == "__main__":
