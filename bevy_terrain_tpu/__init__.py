@@ -32,6 +32,12 @@ from bevy_terrain_tpu.math import (
 from bevy_terrain_tpu.terrain_data import TileAtlas, TileTree  # noqa: E402
 from bevy_terrain_tpu.terrain_data.sampling_api import sample_attachment, sample_height  # noqa: E402
 from bevy_terrain_tpu.render.pipeline import Terrain, TerrainFrameOutput  # noqa: E402
+from bevy_terrain_tpu.render.material import (  # noqa: E402
+    DirectionalLight,
+    StandardMaterial,
+    albedo_material,
+    gradient_material,
+)
 from bevy_terrain_tpu.preprocess import PreprocessDataset, Preprocessor, SphericalDataset  # noqa: E402
 from bevy_terrain_tpu.debug import DebugTerrain  # noqa: E402
 
@@ -42,6 +48,10 @@ __all__ = [
     "AttachmentFormat",
     "Coordinate",
     "DebugTerrain",
+    "DirectionalLight",
+    "StandardMaterial",
+    "albedo_material",
+    "gradient_material",
     "PreprocessDataset",
     "Preprocessor",
     "SphericalDataset",

@@ -71,6 +71,12 @@ class ShadeContext:
     # attachment 0's texture size (attachments[0].size in the reference's
     # show_pixels, debug.wgsl:111-119)
     texture_size: int = 512
+    # extra attachments pre-sampled at the frame's morphed vertex uvs
+    # (fragment.wgsl's sample_attachmentN / planar.wgsl sample_albedo):
+    # {attachment_index: (F, G+1, G+1, C) f32 in [0, 1]}. Populated by the
+    # frame step when set_shading(..., sample_attachments=(i, ...)) names
+    # them; the fused attach_sample_fused kernel does the fetch on TPU.
+    attachment_samples: Optional[dict] = None
 
 
 def _vertex_lookup(ctx: ShadeContext):
@@ -185,12 +191,210 @@ def default_color(ctx: ShadeContext):
 
 
 def lambert_lighting(colors, normals, light_direction=(0.4, 0.8, 0.45)):
-    """Directional diffuse stand-in for the PBR stage (LIGHTING flag)."""
+    """Directional diffuse (kept for API compatibility; the default
+    lighting stage is :func:`pbr_lighting` since round 3)."""
     light = np.asarray(light_direction, np.float32)
     light = light / np.linalg.norm(light)
     ndotl = jnp.clip(jnp.sum(normals * jnp.asarray(light), axis=-1), 0.0, 1.0)
     lit = colors[..., :3] * (0.15 + 0.85 * ndotl[..., None])
     return jnp.concatenate([lit, colors[..., 3:]], axis=-1)
+
+
+# -- PBR lighting stage ------------------------------------------------------
+#
+# The reference composes bevy_pbr per pixel: fragment.wgsl:52-63 fills a
+# PbrInput (base_color, perceptual_roughness = 1.0, reflectance = 0.0, N,
+# V) and calls apply_pbr_lighting. bevy_pbr's direct-light model is the
+# Filament metallic/roughness BRDF (bevy_pbr/src/render/pbr_lighting.wgsl:
+# D_GGX, V_SmithGGXCorrelated, F_Schlick, Fd_Burley); the functions below
+# are that model as batched tensor ops over the vertex grid. Tone mapping /
+# camera exposure stay with the consuming rasterizer.
+
+
+@dataclasses.dataclass(frozen=True)
+class DirectionalLight:
+    """A bevy DirectionalLight equivalent (direction TOWARD the scene;
+    ``illuminance`` folds the light color to linear [0, 1] scale)."""
+
+    direction: tuple = (-0.4, -0.8, -0.45)
+    color: tuple = (1.0, 1.0, 1.0)
+    illuminance: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class StandardMaterial:
+    """bevy_pbr StandardMaterial equivalent: a metallic/roughness surface
+    over any base-color source (terrain_material.rs:437-471 is generic
+    over Material; here the material is this hashable config + an optional
+    ``base_color`` callable ``fn(ctx) -> (F, G+1, G+1, 4)``).
+
+    Defaults match the reference terrain fragment's PbrInput
+    (fragment.wgsl:54-56: perceptual_roughness 1.0, reflectance 0.0).
+    Pass as ``Terrain.set_shading(material=StandardMaterial(...))`` — the
+    frame step applies :func:`pbr_lighting` with these parameters.
+    """
+
+    base_color: Optional[Callable] = None  # default: reference grey-height
+    perceptual_roughness: float = 1.0
+    metallic: float = 0.0
+    reflectance: float = 0.0
+    emissive: tuple = (0.0, 0.0, 0.0)
+    lights: tuple = (DirectionalLight(),)
+    ambient: tuple = (0.05, 0.05, 0.05)
+
+    def __call__(self, ctx: ShadeContext):
+        return (self.base_color or default_color)(ctx)
+
+
+def _f_schlick(f0, f90, voh):
+    return f0 + (f90 - f0) * jnp.power(1.0 - voh, 5.0)
+
+
+def pbr_lighting(
+    colors,
+    normals,
+    positions,
+    view_world_position,
+    perceptual_roughness: float = 1.0,
+    metallic: float = 0.0,
+    reflectance: float = 0.0,
+    emissive=(0.0, 0.0, 0.0),
+    lights=(DirectionalLight(),),
+    ambient=(0.05, 0.05, 0.05),
+):
+    """Filament/bevy_pbr direct lighting for N directional lights.
+
+    Mirrors bevy_pbr's apply_pbr_lighting structure for the directional
+    loop (pbr_lighting.wgsl): GGX specular (D_GGX * V_SmithGGXCorrelated *
+    F_Schlick) + Burley diffuse, plus a flat ambient term on the diffuse
+    color (bevy's environment/irradiance stage is the consuming renderer's
+    concern). All colors linear [0, 1].
+    """
+    base = colors[..., :3]
+    alpha = colors[..., 3:]
+    # pbr_functions.wgsl: calculate_diffuse_color / calculate_F0
+    diffuse_color = base * (1.0 - metallic)
+    f0 = 0.16 * reflectance * reflectance * (1.0 - metallic) + base * metallic
+    # roughness.wgsl: clamp + perceptual -> alpha
+    pr = float(np.clip(perceptual_roughness, 0.089, 1.0))
+    roughness = pr * pr
+
+    n = normals
+    v = view_world_position - positions
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-8)
+    nov = jnp.maximum(jnp.sum(n * v, axis=-1, keepdims=True), 1e-4)
+
+    out = jnp.asarray(np.asarray(emissive, np.float32)) * jnp.ones_like(base)
+    for light in lights:
+        d = np.asarray(light.direction, np.float32)
+        l = -d / np.linalg.norm(d)  # direction_to_light
+        lc = (
+            np.asarray(light.color, np.float32) * np.float32(light.illuminance)
+        )
+        l = jnp.asarray(l)
+        h = l + v
+        h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-8)
+        nol = jnp.clip(jnp.sum(n * l, axis=-1, keepdims=True), 0.0, 1.0)
+        noh = jnp.clip(jnp.sum(n * h, axis=-1, keepdims=True), 0.0, 1.0)
+        loh = jnp.clip(jnp.sum(h * l, axis=-1, keepdims=True), 0.0, 1.0)
+
+        # D_GGX (pbr_lighting.wgsl)
+        a2 = roughness * roughness
+        f = noh * noh * (a2 - 1.0) + 1.0
+        d_ggx = a2 / jnp.maximum(np.float32(np.pi) * f * f, 1e-8)
+        # V_SmithGGXCorrelated
+        lambda_v = nol * jnp.sqrt((nov - a2 * nov) * nov + a2)
+        lambda_l = nov * jnp.sqrt((nol - a2 * nol) * nol + a2)
+        v_smith = 0.5 / jnp.maximum(lambda_v + lambda_l, 1e-8)
+        # F_Schlick with bevy's f90 = saturate(50 * f0.g-ish dot)
+        f90 = jnp.clip(
+            jnp.sum(f0 * np.float32(50.0 * 0.33), axis=-1, keepdims=True),
+            0.0, 1.0,
+        )
+        fresnel = _f_schlick(f0, f90, loh)
+        specular = d_ggx * v_smith * fresnel
+        # Fd_Burley
+        fd90 = 0.5 + 2.0 * roughness * loh * loh
+        light_scatter = _f_schlick(1.0, fd90, nol)
+        view_scatter = _f_schlick(1.0, fd90, nov)
+        fd = light_scatter * view_scatter * np.float32(1.0 / np.pi)
+        diffuse = diffuse_color * fd
+
+        out = out + (diffuse + specular) * jnp.asarray(lc) * nol
+    out = out + diffuse_color * jnp.asarray(np.asarray(ambient, np.float32))
+    return jnp.concatenate([out, alpha], axis=-1)
+
+
+# the planar example's gradient2.png equivalent: a deep-water ->
+# shallows -> grass -> rock -> snow ramp (an original colormap; the
+# reference ships a PNG asset we don't copy)
+DEFAULT_GRADIENT = np.array(
+    [
+        [0.02, 0.09, 0.28, 1.0],
+        [0.05, 0.24, 0.45, 1.0],
+        [0.22, 0.48, 0.35, 1.0],
+        [0.38, 0.52, 0.26, 1.0],
+        [0.52, 0.47, 0.30, 1.0],
+        [0.55, 0.42, 0.32, 1.0],
+        [0.58, 0.55, 0.52, 1.0],
+        [0.78, 0.78, 0.80, 1.0],
+        [0.95, 0.95, 0.97, 1.0],
+    ],
+    np.float32,
+)
+
+
+def gradient_material(gradient=None, exponent: float = 0.9):
+    """The planar example's default material: a 1-D gradient texture
+    sampled at ``pow(height, 0.9)`` (reference assets/shaders/planar.wgsl
+    sample_color, non-ALBEDO branch; examples/planar.rs loads
+    textures/gradient2.png as a D1 texture).
+
+    ``gradient``: (N, 4) float32 LUT in [0, 1]; linear-filtered,
+    clamp-to-edge — textureSampleLevel's semantics for a D1 texture.
+    """
+    lut = np.asarray(
+        DEFAULT_GRADIENT if gradient is None else gradient, np.float32
+    )
+
+    def material(ctx: ShadeContext):
+        hn = jnp.clip(
+            (ctx.mesh.heights - ctx.uniforms.min_height)
+            / jnp.maximum(ctx.uniforms.max_height - ctx.uniforms.min_height, 1e-8),
+            0.0, 1.0,
+        )
+        x = jnp.power(hn, exponent) * (lut.shape[0] - 1)
+        i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, lut.shape[0] - 2)
+        t = (x - i0.astype(jnp.float32))[..., None]
+        table = jnp.asarray(lut)
+        return table[i0] * (1.0 - t) + table[i0 + 1] * t
+
+    return material
+
+
+def albedo_material(attachment_index: int = 1):
+    """The planar example's ALBEDO branch: color straight from the albedo
+    attachment sampled at the morphed vertex uvs (planar.wgsl
+    sample_albedo = sample_attachment1; attachments.wgsl:26-43).
+
+    Requires ``Terrain.set_shading(material=albedo_material(),
+    sample_attachments=(attachment_index,))`` so the frame step samples
+    the attachment in-jit (the fused attach_sample_fused path on TPU).
+    """
+
+    def material(ctx: ShadeContext):
+        if not ctx.attachment_samples or attachment_index not in ctx.attachment_samples:
+            raise ValueError(
+                f"albedo_material needs set_shading(sample_attachments="
+                f"({attachment_index},)) so the frame step samples it"
+            )
+        c = ctx.attachment_samples[attachment_index]
+        if c.shape[-1] >= 4:
+            return c[..., :4]
+        pad = jnp.ones(c.shape[:-1] + (4 - c.shape[-1],), c.dtype)
+        return jnp.concatenate([c, pad], axis=-1)
+
+    return material
 
 
 def show_geometry_lod(ctx: ShadeContext):
@@ -344,9 +548,15 @@ def shade(
     debug_view: Optional[str] = None,
     texture_size: int = 512,
     wireframe: bool = False,
+    attachment_samples: Optional[dict] = None,
 ):
     """Fragment-stage composition (fragment.wgsl:95-113): material color,
-    optional lighting, optional debug overlay. Returns (F, G+1, G+1, 4).
+    PBR lighting, optional debug overlay. Returns (F, G+1, G+1, 4).
+
+    ``lighting=True`` applies :func:`pbr_lighting` — with the material's
+    metallic/roughness parameters when ``material`` is a
+    :class:`StandardMaterial`, else with the reference fragment's default
+    PbrInput (roughness 1.0, reflectance 0.0; fragment.wgsl:54-56).
 
     ``debug_view="pixels"`` (or any other view with show_pixels active via
     Terrain.set_debug) composes the texel checkerboard as a 50% overlay on
@@ -356,11 +566,24 @@ def shade(
     normals = surface_normals_from_heights(mesh, tiles, uniforms, cfg)
     ctx = ShadeContext(
         mesh=mesh, tiles=tiles, normals=normals, uniforms=uniforms, cfg=cfg,
-        texture_size=texture_size,
+        texture_size=texture_size, attachment_samples=attachment_samples,
     )
     colors = (material or default_color)(ctx)
     if lighting:
-        colors = lambert_lighting(colors, normals)
+        if isinstance(material, StandardMaterial):
+            colors = pbr_lighting(
+                colors, normals, mesh.positions, uniforms.view_world_position,
+                perceptual_roughness=material.perceptual_roughness,
+                metallic=material.metallic,
+                reflectance=material.reflectance,
+                emissive=material.emissive,
+                lights=material.lights,
+                ambient=material.ambient,
+            )
+        else:
+            colors = pbr_lighting(
+                colors, normals, mesh.positions, uniforms.view_world_position
+            )
     views = (debug_view,) if isinstance(debug_view, (str, type(None))) else debug_view
     for view in views:
         if view == "pixels":

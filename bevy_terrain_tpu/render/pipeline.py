@@ -88,12 +88,14 @@ class Terrain:
             fmt = getattr(self.atlas.attachments[0], "block_format", None)
             if fmt is not None:
                 grid_in_shardings = (fmt, None)
-        static_names = ("cfg", "plan", "max_value", "shade_opts", "material")
+        static_names = (
+            "cfg", "plan", "max_value", "shade_opts", "material", "extra_meta"
+        )
         if grid_in_shardings is not None:
             self._step_grid = jax.jit(
                 self._frame_step_grid,
                 static_argnames=static_names,
-                in_shardings=grid_in_shardings,
+                in_shardings=grid_in_shardings + (None,),
             )
         else:
             self._step_grid = jax.jit(self._frame_step_grid, static_argnames=static_names)
@@ -116,7 +118,7 @@ class Terrain:
             self._step_grid_frozen = jax.jit(
                 self._frame_step_grid_frozen,
                 static_argnames=static_names,
-                in_shardings=(grid_in_shardings[0], None, None),
+                in_shardings=(grid_in_shardings[0], None, None, None),
             )
         else:
             self._step_grid_frozen = jax.jit(
@@ -166,16 +168,25 @@ class Terrain:
 
     def set_shading(self, material=None, lighting: bool = True,
                     debug_view=None, enabled: bool = True,
-                    wireframe: bool = False) -> None:
+                    wireframe: bool = False,
+                    sample_attachments: tuple = ()) -> None:
         """Enable per-vertex shading in the frame step (fragment-stage
         equivalent; see render/material.py). ``material`` must be a stable
-        jittable callable — it is a jit-static argument."""
+        jittable callable — it is a jit-static argument.
+
+        ``sample_attachments``: attachment indices (e.g. ``(1,)`` for the
+        planar example's albedo) to sample at the frame's morphed vertex
+        uvs INSIDE the frame step — the fused attach_sample_fused path on
+        TPU — and expose as ``ShadeContext.attachment_samples``."""
         self.shading_fn = material
         ts = (
             self.atlas.attachments[0].config.texture_size
             if self.atlas.attachments else 512
         )
-        self._shade_opts = (lighting, debug_view, ts, wireframe) if enabled else None
+        self._shade_opts = (
+            (lighting, debug_view, ts, wireframe, tuple(sample_attachments))
+            if enabled else None
+        )
 
     def set_debug(self, debug) -> None:
         """Apply a DebugTerrain resource (reference debug/mod.rs:94-260).
@@ -198,6 +209,9 @@ class Terrain:
             self.set_shading(
                 self.shading_fn, lighting=debug.lighting,
                 debug_view=debug.debug_view, wireframe=debug.wireframe,
+                sample_attachments=(
+                    self._shade_opts[4] if self._shade_opts else ()
+                ),
             )
         if not debug.freeze:
             self._frozen_tiles.clear()
@@ -386,7 +400,8 @@ class Terrain:
     @staticmethod
     def _frame_step_grid(block_array, uniform_blob,
                          cfg: StaticTerrainConfig, plan, max_value: float,
-                         shade_opts=None, material=None):
+                         shade_opts=None, material=None,
+                         extra_blocks=(), extra_meta=()):
         # single packed host->device transfer per frame (20 small uploads
         # cost tens of ms of latency through a tunneled TPU)
         uniforms = unpack_frame_uniforms(
@@ -405,26 +420,45 @@ class Terrain:
             mesh, tiles = meshgen.generate_mesh_grid(
                 tiles, block_array, uniforms, cfg, plan, max_value
             )
-        colors = Terrain._maybe_shade(mesh, tiles, uniforms, cfg, shade_opts, material)
+        colors = Terrain._maybe_shade(
+            mesh, tiles, uniforms, cfg, shade_opts, material,
+            extra_blocks, extra_meta,
+        )
         return tiles, mesh, colors
 
     @staticmethod
-    def _maybe_shade(mesh, tiles, uniforms, cfg, shade_opts, material):
+    def _maybe_shade(mesh, tiles, uniforms, cfg, shade_opts, material,
+                     extra_blocks=(), extra_meta=()):
         if shade_opts is None:
             return None
+        from bevy_terrain_tpu.ops.patch_sampling import sample_attachment_vertices
         from bevy_terrain_tpu.render.material import shade
 
-        lighting, debug_view, texture_size, wireframe = shade_opts
+        lighting, debug_view, texture_size, wireframe, *_ = shade_opts
+        # in-jit attachment fetches for the material (planar.wgsl's
+        # sample_albedo): one fused sampler pass per named attachment
+        attachment_samples = None
+        if extra_meta:
+            attachment_samples = {}
+            for blocks_i, (idx, plan_i, maxv_i, pm_i) in zip(
+                extra_blocks, extra_meta
+            ):
+                attachment_samples[idx] = sample_attachment_vertices(
+                    list(blocks_i), tiles, mesh.uvs, uniforms, cfg,
+                    plan_i, maxv_i, plan_matches_frame=pm_i,
+                )
         return shade(
             mesh, tiles, uniforms, cfg,
             material=material, lighting=lighting, debug_view=debug_view,
             texture_size=texture_size, wireframe=wireframe,
+            attachment_samples=attachment_samples,
         )
 
     @staticmethod
     def _frame_step_grid_frozen(block_array, uniform_blob, tiles,
                                 cfg: StaticTerrainConfig, plan, max_value: float,
-                                shade_opts=None, material=None):
+                                shade_opts=None, material=None,
+                                extra_blocks=(), extra_meta=()):
         """Frozen-prepass frame (debug freeze, debug/mod.rs:186-192): mesh
         the GIVEN tile list from the new camera instead of refining."""
         uniforms = unpack_frame_uniforms(
@@ -439,7 +473,10 @@ class Terrain:
             mesh, tiles = meshgen.generate_mesh_grid(
                 tiles, block_array, uniforms, cfg, plan, max_value
             )
-        colors = Terrain._maybe_shade(mesh, tiles, uniforms, cfg, shade_opts, material)
+        colors = Terrain._maybe_shade(
+            mesh, tiles, uniforms, cfg, shade_opts, material,
+            extra_blocks, extra_meta,
+        )
         return tiles, mesh, colors
 
     # -- per-frame orchestration (reference plugin.rs:46-56 Last schedule) --
@@ -496,6 +533,20 @@ class Terrain:
                     self.debug is not None and self.debug.freeze
                     and view_id in self._frozen_tiles
                 )
+                # material attachments sampled inside the frame step
+                # (set_shading(sample_attachments=...)); meta is static
+                extra_blocks, extra_meta = (), ()
+                if self._shade_opts is not None and self._shade_opts[4]:
+                    eb, em = [], []
+                    for idx in self._shade_opts[4]:
+                        att = self.atlas.attachments[idx]
+                        eb.append(tuple(att.block_arrays))
+                        em.append((
+                            idx, att.patch_plan,
+                            att.config.format.max_value,
+                            att.patch_plan == height.patch_plan,
+                        ))
+                    extra_blocks, extra_meta = tuple(eb), tuple(em)
                 # positional args: pjit rejects kwargs with in_shardings
                 if frozen:
                     tiles, mesh, colors = self._step_grid_frozen(
@@ -507,6 +558,8 @@ class Terrain:
                         height.config.format.max_value,
                         self._shade_opts,
                         self.shading_fn,
+                        extra_blocks,
+                        extra_meta,
                     )
                 else:
                     def _dispatch(cfg_x):
@@ -518,6 +571,8 @@ class Terrain:
                             height.config.format.max_value,
                             self._shade_opts,
                             self.shading_fn,
+                            extra_blocks,
+                            extra_meta,
                         )
 
                     tiles, mesh, colors = _dispatch(cfg_s)

@@ -92,7 +92,17 @@ def main() -> None:
     terrain = Terrain(config)
     terrain.add_view("camera", TerrainViewConfig(tile_capacity=2048), queue_capacity=4096)
 
-    # custom material: modulate albedo by height (planar.rs-style)
+    # the reference example's custom TerrainMaterial (examples/planar.rs +
+    # assets/shaders/planar.wgsl): ALBEDO branch = color straight from the
+    # albedo attachment, fetched INSIDE the frame step (the fused
+    # attach_sample_fused path on TPU), lit by the PBR stage
+    from bevy_terrain_tpu import StandardMaterial, albedo_material, gradient_material
+
+    terrain.set_shading(
+        material=StandardMaterial(base_color=albedo_material(1)),
+        lighting=True,
+        sample_attachments=(1,),
+    )
     view = np.array([120.0, 200.0, -150.0])
     out = None
     for _ in range(40):
@@ -104,9 +114,19 @@ def main() -> None:
         time.sleep(0.02)
     out = terrain.update({"camera": view})["camera"]
 
+    lit = np.asarray(out.colors)[np.asarray(out.mesh.tile_mask)]
+    print(f"tiles={out.tile_count} lit RGBA shape={out.colors.shape}")
+    print(f"lit mean RGB = {lit[..., :3].reshape(-1, 3).mean(axis=0)}")
+
+    # the non-ALBEDO branch: gradient LUT at pow(height, 0.9)
+    terrain.set_shading(material=gradient_material(), lighting=True)
+    out_g = terrain.update({"camera": view})["camera"]
+    g = np.asarray(out_g.colors)[np.asarray(out_g.mesh.tile_mask)]
+    print(f"gradient-material mean RGB = {g[..., :3].reshape(-1, 3).mean(axis=0)}")
+
     albedo = terrain.sample_attachment_grid("camera", out, attachment_index=1)
     a = np.asarray(albedo)[np.asarray(out.mesh.tile_mask)]
-    print(f"tiles={out.tile_count} albedo grid shape={albedo.shape}")
+    print(f"albedo grid shape={albedo.shape}")
     print(f"albedo mean RGB = {a[..., :3].reshape(-1, 3).mean(axis=0)}")
 
     # sanity: compare a vertex's sampled albedo against the analytic colormap

@@ -114,6 +114,111 @@ class TestShading:
         t.set_shading(lighting=True)
 
 
+class TestPbrLighting:
+    """pbr_lighting mirrors bevy_pbr's Filament direct-light model
+    (fragment.wgsl:52-63 PbrInput -> apply_pbr_lighting)."""
+
+    def _flat(self, n=(0.0, 1.0, 0.0), base=(0.8, 0.8, 0.8)):
+        normals = np.broadcast_to(np.asarray(n, np.float32), (1, 4, 4, 3))
+        colors = np.concatenate(
+            [
+                np.broadcast_to(np.asarray(base, np.float32), (1, 4, 4, 3)),
+                np.ones((1, 4, 4, 1), np.float32),
+            ],
+            axis=-1,
+        )
+        positions = np.zeros((1, 4, 4, 3), np.float32)
+        view = np.array([0.0, 100.0, 0.0], np.float32)
+        return colors, normals, positions, view
+
+    def test_facing_light_brighter_than_away(self):
+        light = mat.DirectionalLight(direction=(0.0, -1.0, 0.0))
+        c, n, p, v = self._flat()
+        lit_up = np.asarray(
+            mat.pbr_lighting(c, n, p, v, lights=(light,))
+        )
+        lit_down = np.asarray(
+            mat.pbr_lighting(c, -n, p, v, lights=(light,))
+        )
+        assert lit_up[..., :3].mean() > lit_down[..., :3].mean() + 0.1
+        # away-facing only sees ambient on the diffuse color
+        np.testing.assert_allclose(
+            lit_down[..., :3], 0.8 * 0.05, atol=1e-5
+        )
+
+    def test_defaults_match_reference_pbr_input_and_stay_in_range(self):
+        # fragment.wgsl:54-56: roughness 1.0, reflectance 0.0 -> the
+        # default terrain look is Burley diffuse + ambient, no specular
+        c, n, p, v = self._flat()
+        lit = np.asarray(mat.pbr_lighting(c, n, p, v))
+        assert lit.min() >= 0.0 and lit.max() <= 1.0 + 1e-6
+        assert lit[..., 3].max() == 1.0  # alpha untouched
+
+    def test_metallic_kills_diffuse(self):
+        light = mat.DirectionalLight(direction=(0.0, -1.0, 0.0))
+        c, n, p, v = self._flat(base=(0.9, 0.2, 0.1))
+        dielectric = np.asarray(
+            mat.pbr_lighting(c, n, p, v, metallic=0.0, lights=(light,),
+                             ambient=(0, 0, 0))
+        )
+        metal = np.asarray(
+            mat.pbr_lighting(c, n, p, v, metallic=1.0,
+                             perceptual_roughness=1.0, lights=(light,),
+                             ambient=(0, 0, 0))
+        )
+        # metal: no diffuse; rough specular remains, tinted by base (F0)
+        assert metal[..., :3].mean() < dielectric[..., :3].mean()
+        assert metal[..., 0].mean() > metal[..., 2].mean()  # F0 tint
+
+    def test_smooth_specular_peak(self):
+        # mirror geometry: light straight down, viewer straight above ->
+        # low roughness concentrates energy vs high roughness
+        light = mat.DirectionalLight(direction=(0.0, -1.0, 0.0))
+        c, n, p, v = self._flat(base=(0.5, 0.5, 0.5))
+        smooth = np.asarray(
+            mat.pbr_lighting(c, n, p, v, perceptual_roughness=0.15,
+                             reflectance=0.5, lights=(light,),
+                             ambient=(0, 0, 0))
+        )
+        rough = np.asarray(
+            mat.pbr_lighting(c, n, p, v, perceptual_roughness=1.0,
+                             reflectance=0.5, lights=(light,),
+                             ambient=(0, 0, 0))
+        )
+        assert smooth[..., :3].max() > rough[..., :3].max() * 1.5
+
+    def test_standard_material_through_terrain(self, shaded_terrain):
+        t, view, _ = shaded_terrain
+        m = mat.StandardMaterial(perceptual_roughness=0.5, metallic=0.1,
+                                 reflectance=0.4)
+        t.set_shading(material=m, lighting=True)
+        out = t.update({"cam": view})["cam"]
+        c = np.asarray(out.colors)[np.asarray(out.mesh.tile_mask)]
+        assert np.isfinite(c).all() and c.min() >= 0.0
+        t.set_shading(lighting=True)
+
+
+class TestExampleMaterials:
+    def test_gradient_material_follows_height(self, shaded_terrain):
+        """planar.wgsl sample_color non-ALBEDO: gradient LUT at
+        pow(height, 0.9)."""
+        t, view, _ = shaded_terrain
+        lut = np.stack(
+            [np.linspace(0, 1, 16), np.zeros(16), np.linspace(1, 0, 16),
+             np.ones(16)],
+            axis=-1,
+        ).astype(np.float32)
+        t.set_shading(material=mat.gradient_material(lut), lighting=False)
+        out = t.update({"cam": view})["cam"]
+        mask = np.asarray(out.mesh.tile_mask)
+        c = np.asarray(out.colors)[mask]
+        h = np.asarray(out.mesh.heights)[mask]
+        hn = np.clip(h / 100.0, 0, 1) ** 0.9
+        np.testing.assert_allclose(c[..., 0], hn, atol=1.5 / 15)
+        np.testing.assert_allclose(c[..., 2], 1.0 - hn, atol=1.5 / 15)
+        t.set_shading(lighting=True)
+
+
 class TestDebugToggles:
     def test_defaults_match_reference(self):
         d = DebugTerrain()
@@ -211,6 +316,27 @@ class TestAttachmentSampling:
         err_g = np.abs(a[..., 1] - v)
         assert np.median(err_r) < 0.02 and np.median(err_g) < 0.02
         assert np.median(np.abs(a[..., 2] - 0.5)) < 0.02
+
+        # the planar example's ALBEDO material: the same fetch runs INSIDE
+        # the frame step (set_shading(sample_attachments=(1,))) and colors
+        # come out of the jit equal to the post-hoc sampler above
+        from bevy_terrain_tpu import albedo_material
+
+        t.set_shading(material=albedo_material(1), lighting=False,
+                      sample_attachments=(1,))
+        out2 = t.update({"cam": view})["cam"]
+        c = np.asarray(out2.colors)[np.asarray(out2.mesh.tile_mask)]
+        a2 = np.asarray(t.sample_attachment_grid("cam", out2, 1))[
+            np.asarray(out2.mesh.tile_mask)
+        ]
+        np.testing.assert_allclose(c, a2[..., :4], atol=1e-6)
+        # and lighting composes on top of the albedo (the example's
+        # fragment_output path with LIGHTING)
+        t.set_shading(material=albedo_material(1), lighting=True,
+                      sample_attachments=(1,))
+        out3 = t.update({"cam": view})["cam"]
+        c3 = np.asarray(out3.colors)[np.asarray(out3.mesh.tile_mask)]
+        assert np.isfinite(c3).all() and (c3[..., :3] <= c[..., :3] + 0.2).all()
 
 
 class TestTileTreeView:

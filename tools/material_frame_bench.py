@@ -1,0 +1,100 @@
+"""Full-material frame measurement (VERDICT r2 item 6).
+
+One jit = refinement -> fused mesh kernel -> 4-channel albedo fetch at the
+morphed vertex uvs (attach_sample_fused per channel) -> PBR shade. The
+target: device frame <= 1.5 ms at capacity 4096 on the bench.py 8k^2
+planar scene (mesh alone is ~971 us; the r02 4-channel sampler measured
+674 us stand-alone, so the headroom is fetch overlap + fused shade).
+
+Usage: python tools/material_frame_bench.py
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from multi_view_bench import build_scene  # noqa: E402  (same 8k^2 scene)
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(Path(__file__).resolve().parent.parent / ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from bevy_terrain_tpu.ops import meshgen, refinement
+    from bevy_terrain_tpu.ops.pallas_kernels import block_format
+    from bevy_terrain_tpu.ops.patch_sampling import sample_attachment_vertices
+    from bevy_terrain_tpu.render.material import (
+        StandardMaterial, albedo_material, shade,
+    )
+    from bevy_terrain_tpu.utils.timing import device_time_ms
+
+    cfg, plan, blocks, u1, _ = build_scene()
+    fmt = block_format()
+    blocks = jax.device_put(blocks, fmt)
+    # 4 independent albedo channel block stores (Rgba8), same plan
+    rng = np.random.default_rng(7)
+    albedo_blocks = tuple(
+        jax.device_put(
+            jnp.asarray(
+                rng.integers(0, 255, blocks.shape).astype(np.int32)
+            ),
+            fmt,
+        )
+        for _ in range(4)
+    )
+    material = StandardMaterial(base_color=albedo_material(1))
+
+    def mesh_only(block_array, u):
+        tiles = refinement.refine_tiles(u, cfg)
+        raw, tiles = meshgen.generate_mesh_fused(
+            tiles, block_array, u, cfg, plan, 65535.0
+        )
+        return tiles.tile_count, raw
+
+    def full(block_array, ab, u):
+        tiles = refinement.refine_tiles(u, cfg)
+        raw, tiles = meshgen.generate_mesh_fused(
+            tiles, block_array, u, cfg, plan, 65535.0
+        )
+        mesh = meshgen.fused_to_grid(raw, tiles, cfg, u)
+        rgba = sample_attachment_vertices(
+            list(ab), tiles, mesh.uvs, u, cfg, plan, 255.0
+        )
+        colors = shade(
+            mesh, tiles, u, cfg, material=material, lighting=True,
+            attachment_samples={1: rgba},
+        )
+        return tiles.tile_count, colors
+
+    jmesh = jax.jit(mesh_only, in_shardings=(fmt, None))
+    jfull = jax.jit(full, in_shardings=(fmt, (fmt,) * 4, None))
+    (c0, _), (c1, colors) = (
+        jax.block_until_ready(jmesh(blocks, u1)),
+        jax.block_until_ready(jfull(blocks, albedo_blocks, u1)),
+    )
+    assert int(c0) == int(c1)
+    t_mesh = device_time_ms(jmesh, blocks, u1, label="mat_mesh")
+    t_full = device_time_ms(jfull, blocks, albedo_blocks, u1, label="mat_full")
+    print(
+        f"mesh-only frame: {t_mesh * 1e3:.1f} us ({int(c0)} tiles)\n"
+        f"full material frame (mesh + RGBA x4 + PBR shade): "
+        f"{t_full * 1e3:.1f} us -> attachment+shade adds "
+        f"{(t_full - t_mesh) * 1e3:.1f} us "
+        f"(target <= 1500 us at capacity {cfg.tile_capacity})"
+    )
+
+
+if __name__ == "__main__":
+    main()
