@@ -271,13 +271,20 @@ def generate_mesh_fused(
         return jnp.concatenate([x, jnp.zeros((Fp - F,), x.dtype)]) if Fp > F else x
 
     live = (jnp.arange(Fp, dtype=jnp.int32) < tiles.tile_count).astype(jnp.float32)
+    # step flags (mesh_fused): 0 dead / 1 live / 2 live+hp. Live lanes are
+    # a PREFIX of the sorted list (dead-capacity tail), so a step is live
+    # iff its first lane is — kernel cost tracks tile_count, not capacity
+    live_steps = (
+        tiles.tile_count
+        > jnp.arange(steps, dtype=jnp.int32) * pk.TILES_PER_STEP
+    )
+    step_flags = live_steps.astype(jnp.int32)
     cols = [
         live,
         pad(jnp.maximum(tiles.tile_lod[:F], 0).astype(jnp.float32)),
         pad(tiles.tile_xy[:F, 0].astype(jnp.float32)),
         pad(tiles.tile_xy[:F, 1].astype(jnp.float32)),
     ]
-    hp_steps = None
     if cfg.spherical:
         side_i = pad(tiles.tile_side[:F])
         cols.append(side_i.astype(jnp.float32))
@@ -292,13 +299,20 @@ def generate_mesh_fused(
         # per-tile world/normal transforms precomposed with the side's
         # cube placement (EXACT: side matrices are signed permutations),
         # so the kernel skips the per-lane 6-way side select entirely
+        # HIGHEST precision: these compose WORLD-scale values (6.4e6 m)
+        # with signed permutations — a default bf16 pass on TPU quantizes
+        # the radius to ~16 km steps (one bf16 ulp at 2^22), which the
+        # live-TPU spherical golden caught as a systematic 14 km position
+        # offset (tests/test_goldens.py::TestTpuFusedGoldens)
         wm6 = jnp.einsum(
             "ij,sjk->sik", uniforms.world_from_local[:, :3],
             jnp.asarray(coords._SIDE_MATS),
+            precision=jax.lax.Precision.HIGHEST,
         ).reshape(6, 9)
         nm6 = jnp.einsum(
             "ij,sjk->sik", uniforms.normal_matrix,
             jnp.asarray(coords._SIDE_MATS),
+            precision=jax.lax.Precision.HIGHEST,
         ).reshape(6, 9)
         wm = coords.take_side_rows(wm6, side_i, cfg.side_count)  # (Fp, 9)
         nm = coords.take_side_rows(nm6, side_i, cfg.side_count)
@@ -324,13 +338,16 @@ def generate_mesh_fused(
             tile_hp = (
                 dmin < uniforms.precision_threshold_distance * 1.05 + margin
             ) & (cols[0] > 0.0)
-            hp_steps = jnp.any(
-                tile_hp.reshape(steps, pk.TILES_PER_STEP), axis=1
+            hp_any = jnp.any(tile_hp.reshape(steps, pk.TILES_PER_STEP), axis=1)
+            step_flags = jnp.where(
+                live_steps, jnp.where(hp_any, 2, 1), 0
             ).astype(jnp.int32)
+        else:
+            step_flags = jnp.where(live_steps, 2, 0).astype(jnp.int32)
     tile_params = jnp.stack(cols, axis=-1)  # (Fp, 4) or (Fp, 45)
     fs = pk.pack_mesh_scalars(uniforms, cfg, max_value)
     raw = pk.mesh_fused(
-        block_array, batch, tile_params, fs, hp_steps,
+        block_array, batch, tile_params, fs, step_flags,
         spherical=cfg.spherical, origin_lod=cfg.origin_lod,
         interpret=interpret,
     )

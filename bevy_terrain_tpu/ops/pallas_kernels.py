@@ -407,6 +407,32 @@ def _mesh_kernel_body(spherical, origin_lod, uq_ref, slots_ref, rlo_ref,
         wait_range(0, allowed)
         cnt[1] = allowed
 
+    # ---- per-step live gating ----
+    # dead-capacity lanes sort to a contiguous TAIL sharing one quad
+    # (plan_patch_batch), so whole steps past ceil(tile_count / T) carry
+    # zero live tiles: skip ALL their compute (resample dots, tents,
+    # expanders, phase B) and just zero the out rows. Makes the kernel
+    # cost track the LIVE tile count instead of the static capacity
+    # (r03: planar 4096-cap/2582-live and Earth 2048-cap/1512-live both
+    # pay only for live steps). Flag encoding: 0 dead, 1 live, 2 live+hp.
+    live_on = hp_ref[s] > 0
+
+    @pl.when(jnp.logical_not(live_on))
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    @pl.when(live_on)
+    def _live_step():
+        _mesh_step_compute(spherical, origin_lod, s, uq_ref, slots_ref,
+                           rlo_ref, rhi_ref, nuq_ref, fs_ref, hp_ref, gr8_ref,
+                           hbm_ref, out_ref, cache, S, HP, sem, cnt)
+
+
+def _mesh_step_compute(spherical, origin_lod, s, uq_ref, slots_ref, rlo_ref,
+                       rhi_ref, nuq_ref, fs_ref, hp_ref, gr8_ref, hbm_ref,
+                       out_ref, cache, S, HP, sem, cnt):
+    T = TILES_PER_STEP
+
     # ---- per-tile parameters expanded on the MXU ----
     # gr8 rows [p0x, p0y, dp, live, lodf, xf, yf, valid] are per TILE
     # (8, 64); lane-expanding them to the patch (x64) and vertex (x17)
@@ -629,7 +655,7 @@ def _mesh_kernel_body(spherical, origin_lod, uq_ref, slots_ref, rlo_ref,
         return rx, ry, rz
 
     if spherical:
-        hp_on = hp_ref[s] == 1
+        hp_on = hp_ref[s] == 2
         wx0, wy0, wz0, nx0, ny0, nz0 = far_geom(u, v)
         # world-space view distance at the approximate height
         dwx = wx0 + fs[29] * nx0 - fs[39]
@@ -750,9 +776,12 @@ def mesh_fused(block_array, batch, tile_params, fs, hp_steps=None,
         c/c_s/c_t/c_ss/c_st/c_tt (18), origin_xy(2), origin_uv(2),
         WM(9), NM(9)] appended (meshgen.generate_mesh_fused builds both).
       fs: (48,) f32 frame scalars (pack_mesh_scalars).
-      hp_steps: (steps,) int32, 1 where a step may contain a lane inside
-        the precision threshold (conservative closest-point bound). The
-        Taylor chains run only on flagged steps; None = all flagged.
+      hp_steps: (steps,) int32 STEP FLAGS: 0 = no live tile (the whole
+        step's compute is skipped and its out rows zeroed — kernel cost
+        tracks the live tile count, not the capacity), 1 = live,
+        2 = live AND may contain a lane inside the precision threshold
+        (conservative closest-point bound; the Taylor chains run only on
+        2-flagged steps). None = everything on.
 
     Returns (steps, 102, LANES) f32 (planar) or (steps, 153, LANES)
     (spherical): rows = [height, pos_xyz, morphed uv (, normal_xyz)]
@@ -761,7 +790,7 @@ def mesh_fused(block_array, batch, tile_params, fs, hp_steps=None,
     Fp = batch.slots.shape[0]
     steps = Fp // TILES_PER_STEP
     if hp_steps is None:
-        hp_steps = jnp.ones((steps,), jnp.int32)
+        hp_steps = jnp.full((steps,), 2 if spherical else 1, jnp.int32)
     # ONE tiny per-tile operand (GR_ROWS, T)/step — the kernel lane-expands
     # it on the MXU (see _mesh_kernel_body's expander dots)
     rows = [

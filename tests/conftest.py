@@ -20,4 +20,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# BT_TPU_TESTS=1 opts OUT of the CPU forcing so the live-backend golden
+# checks (tests/test_goldens.py::TestTpuFusedGoldens) can run on the chip
+if os.environ.get("BT_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
