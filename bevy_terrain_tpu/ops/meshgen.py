@@ -349,7 +349,7 @@ def generate_mesh_fused(
     raw = pk.mesh_fused(
         block_array, batch, tile_params, fs, step_flags,
         spherical=cfg.spherical, origin_lod=cfg.origin_lod,
-        interpret=interpret,
+        interpret=interpret, ellipsoidal=cfg.ellipsoidal,
     )
     return raw, tiles
 

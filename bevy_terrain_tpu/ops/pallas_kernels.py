@@ -335,7 +335,20 @@ def pack_mesh_scalars(uniforms, cfg, max_value: float) -> jnp.ndarray:
         ]),
         uniforms.normal_matrix.reshape(9),  # 30:39
         uniforms.view_world_position,  # 39:42
-        jnp.zeros((6,), jnp.float32),
+        # 42: 1/radius — for SPHERES the world transform's uniform scale;
+        # the kernel's normal-from-position shortcut divides the
+        # pre-translation world position by it (exact: the rotated
+        # radius-scaled unit cube-sphere point has length R).
+        # 43/44: log2 of the morph/blend distance bases — the kernel
+        # computes lod targets as log2(base) - 0.5*log2(dist^2), saving
+        # the sqrt pass and one of the two log2 passes per step.
+        # 45: precision threshold SQUARED (near test runs on dist^2).
+        (1.0 / jnp.linalg.norm(m[:, 0]))[None],
+        jnp.log2(2.0 * uniforms.morph_distance)[None],
+        jnp.log2(uniforms.blend_distance)[None],
+        (uniforms.precision_threshold_distance
+         * uniforms.precision_threshold_distance)[None],
+        jnp.zeros((2,), jnp.float32),
     ]).astype(jnp.float32)
 
 
@@ -356,7 +369,7 @@ GR_ROWS = 48
 C_SQR_F = 0.87 * 0.87  # cube-sphere warp constant (math/coordinate.py)
 
 
-def _make_mesh_kernel(spherical: bool, origin_lod: int):
+def _make_mesh_kernel(spherical: bool, origin_lod: int, ellipsoidal: bool):
     def kernel(*refs):
         ins = refs[:10]  # 7 prefetched scalars + gr8 + hbm + out
         if spherical:
@@ -364,14 +377,15 @@ def _make_mesh_kernel(spherical: bool, origin_lod: int):
         else:
             cache, S, sem, cnt = refs[10:]
             HP = None
-        _mesh_kernel_body(spherical, origin_lod, *ins, cache, S, HP, sem, cnt)
+        _mesh_kernel_body(spherical, origin_lod, ellipsoidal, *ins,
+                          cache, S, HP, sem, cnt)
 
     return kernel
 
 
-def _mesh_kernel_body(spherical, origin_lod, uq_ref, slots_ref, rlo_ref,
-                      rhi_ref, nuq_ref, fs_ref, hp_ref, gr8_ref, hbm_ref,
-                      out_ref, cache, S, HP, sem, cnt):
+def _mesh_kernel_body(spherical, origin_lod, ellipsoidal, uq_ref, slots_ref,
+                      rlo_ref, rhi_ref, nuq_ref, fs_ref, hp_ref, gr8_ref,
+                      hbm_ref, out_ref, cache, S, HP, sem, cnt):
     s = pl.program_id(0)
     T = TILES_PER_STEP
 
@@ -423,14 +437,15 @@ def _mesh_kernel_body(spherical, origin_lod, uq_ref, slots_ref, rlo_ref,
 
     @pl.when(live_on)
     def _live_step():
-        _mesh_step_compute(spherical, origin_lod, s, uq_ref, slots_ref,
-                           rlo_ref, rhi_ref, nuq_ref, fs_ref, hp_ref, gr8_ref,
-                           hbm_ref, out_ref, cache, S, HP, sem, cnt)
+        _mesh_step_compute(spherical, origin_lod, ellipsoidal, s, uq_ref,
+                           slots_ref, rlo_ref, rhi_ref, nuq_ref, fs_ref,
+                           hp_ref, gr8_ref, hbm_ref, out_ref, cache, S, HP,
+                           sem, cnt)
 
 
-def _mesh_step_compute(spherical, origin_lod, s, uq_ref, slots_ref, rlo_ref,
-                       rhi_ref, nuq_ref, fs_ref, hp_ref, gr8_ref, hbm_ref,
-                       out_ref, cache, S, HP, sem, cnt):
+def _mesh_step_compute(spherical, origin_lod, ellipsoidal, s, uq_ref,
+                       slots_ref, rlo_ref, rhi_ref, nuq_ref, fs_ref, hp_ref,
+                       gr8_ref, hbm_ref, out_ref, cache, S, HP, sem, cnt):
     T = TILES_PER_STEP
 
     # ---- per-tile parameters expanded on the MXU ----
@@ -599,16 +614,24 @@ def _mesh_step_compute(spherical, origin_lod, s, uq_ref, slots_ref, rlo_ref,
         inv_n = jax.lax.rsqrt(1.0 + pxs * pxs + pys * pys)
         pxn = pxs * inv_n
         pyn = pys * inv_n
-        wx = gV[30] * pxn + gV[31] * pyn + gV[32] * inv_n + fs[3]
-        wy = gV[33] * pxn + gV[34] * pyn + gV[35] * inv_n + fs[7]
-        wz = gV[36] * pxn + gV[37] * pyn + gV[38] * inv_n + fs[11]
-        # world normal = normalize(normal_matrix @ local); the inv_n
-        # factor is uniform per lane so it drops out in the normalize
-        nx = gV[39] * pxs + gV[40] * pys + gV[41]
-        ny = gV[42] * pxs + gV[43] * pys + gV[44]
-        nz = gV[45] * pxs + gV[46] * pys + gV[47]
-        ninv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz)
-        return wx, wy, wz, nx * ninv, ny * ninv, nz * ninv
+        sx = gV[30] * pxn + gV[31] * pyn + gV[32] * inv_n
+        sy = gV[33] * pxn + gV[34] * pyn + gV[35] * inv_n
+        sz = gV[36] * pxn + gV[37] * pyn + gV[38] * inv_n
+        wx, wy, wz = sx + fs[3], sy + fs[7], sz + fs[11]
+        if ellipsoidal:
+            # world normal = normalize(normal_matrix @ local); the inv_n
+            # factor is uniform per lane so it drops out in the normalize
+            nx = gV[39] * pxs + gV[40] * pys + gV[41]
+            ny = gV[42] * pxs + gV[43] * pys + gV[44]
+            nz = gV[45] * pxs + gV[46] * pys + gV[47]
+            ninv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz)
+            return wx, wy, wz, nx * ninv, ny * ninv, nz * ninv
+        # SPHERE: the pre-translation world point (sx, sy, sz) is the
+        # rotated radius-scaled unit cube-sphere point, so the unit normal
+        # is exactly it divided by the radius (fs[42] = 1/R) — drops the
+        # 9-fma normal-matrix application and its rsqrt normalize from
+        # BOTH per-step geometry evaluations
+        return wx, wy, wz, sx * fs[42], sy * fs[42], sz * fs[42]
 
     def taylor_rel(uu, vv):
         """HIGH_PRECISION Taylor relative position
@@ -657,11 +680,13 @@ def _mesh_step_compute(spherical, origin_lod, s, uq_ref, slots_ref, rlo_ref,
     if spherical:
         hp_on = hp_ref[s] == 2
         wx0, wy0, wz0, nx0, ny0, nz0 = far_geom(u, v)
-        # world-space view distance at the approximate height
+        # world-space view distance (SQUARED — the consumers are the
+        # log2-based lod targets and the near compare, so the sqrt pass
+        # is never needed) at the approximate height
         dwx = wx0 + fs[29] * nx0 - fs[39]
         dwy = wy0 + fs[29] * ny0 - fs[40]
         dwz = wz0 + fs[29] * nz0 - fs[41]
-        dist_w0 = jnp.sqrt(dwx * dwx + dwy * dwy + dwz * dwz)
+        d2_w0 = dwx * dwx + dwy * dwy + dwz * dwz
 
         @pl.when(hp_on)
         def _():
@@ -669,23 +694,27 @@ def _mesh_step_compute(spherical, origin_lod, s, uq_ref, slots_ref, rlo_ref,
             dhx = rx0 + fs[29] * nx0
             dhy = ry0 + fs[29] * ny0
             dhz = rz0 + fs[29] * nz0
-            HP[0] = jnp.sqrt(dhx * dhx + dhy * dhy + dhz * dhz)
+            HP[0] = dhx * dhx + dhy * dhy + dhz * dhz  # squared
 
         # hp_on gates the scratch read: a step whose flag is 0 is
         # conservatively guaranteed (plan-side closest-point bound) to
         # have no lane inside the precision threshold, so the where
         # never selects the (possibly stale) scratch row
-        near = jnp.logical_and(dist_w0 < fs[27], hp_on)
-        dist = jnp.where(near, HP[0], dist_w0)
+        near = jnp.logical_and(d2_w0 < fs[45], hp_on)
+        d2 = jnp.where(near, HP[0], d2_w0)
     else:
         lx = (xf + u) * inv_count - 0.5
         lz = (yf + v) * inv_count - 0.5
         dx = fs[0] * lx + fs[2] * lz + fs[12]
         dy = fs[4] * lx + fs[6] * lz + fs[13]
         dz = fs[8] * lx + fs[10] * lz + fs[14]
-        dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        d2 = dx * dx + dy * dy + dz * dz
 
-    target_lod = jnp.log2(fs[18] / dist)
+    # ONE log2 pass serves both the morph and blend targets:
+    # log2(base/dist) == log2(base) - 0.5*log2(dist^2) (fs[43]/fs[44]
+    # hold the host-precomputed log2 bases)
+    log2_dist = 0.5 * jnp.log2(d2)
+    target_lod = fs[43] - log2_dist
     mr = jnp.clip((lodf + fs[19] - target_lod) * (1.0 / fs[19]), 0.0, 1.0)
     mr = jnp.where(lodf == 0.0, 0.0, mr) * fs[24]
     even_u = ((j & ~1).astype(jnp.float32)) * (1.0 / (GV - 1.0))
@@ -710,7 +739,7 @@ def _mesh_step_compute(spherical, origin_lod, s, uq_ref, slots_ref, rlo_ref,
     h_smooth = interp9(sm0, sm1, sm2)
 
     # --- per-vertex blend crossfade (fragment.wgsl:51-62 semantics) ---
-    btarget = jnp.minimum(jnp.log2(fs[20] / dist), fs[26])
+    btarget = jnp.minimum(fs[44] - log2_dist, fs[26])
     blod = jnp.maximum(btarget, 0.0).astype(jnp.int32).astype(jnp.float32)
     bratio = jnp.where(
         blod == 0.0, 0.0,
@@ -761,11 +790,12 @@ def _mesh_step_compute(spherical, origin_lod, s, uq_ref, slots_ref, rlo_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spherical", "origin_lod", "interpret")
+    jax.jit,
+    static_argnames=("spherical", "origin_lod", "interpret", "ellipsoidal"),
 )
 def mesh_fused(block_array, batch, tile_params, fs, hp_steps=None,
                spherical: bool = False, origin_lod: int = 10,
-               interpret: bool = False):
+               interpret: bool = False, ellipsoidal: bool = False):
     """Fused frame mesh: fetch + resample + morph + interpolate.
 
     Args:
@@ -837,7 +867,7 @@ def mesh_fused(block_array, batch, tile_params, fs, hp_steps=None,
         scratch_shapes=scratch,
     )
     return pl.pallas_call(
-        _make_mesh_kernel(spherical, origin_lod),
+        _make_mesh_kernel(spherical, origin_lod, ellipsoidal),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((steps, out_rows, LANES), jnp.float32),
         interpret=interpret,

@@ -45,6 +45,11 @@ class StaticTerrainConfig:
     tile_capacity: int
     origin_lod: int
     attachment_count: int = 1
+    # true ellipsoids (anisotropic axes) need the full normal-matrix path
+    # in the fused kernel; spheres use the exact normal-from-position
+    # shortcut (normal = (world - center) / radius, one fewer rsqrt pass
+    # per geometry evaluation). Set by Terrain.add_view from the model.
+    ellipsoidal: bool = False
     # pipeline flags (reference terrain_material.rs:174-227)
     morph: bool = True
     blend: bool = True

@@ -629,3 +629,129 @@ def sample_attachment_vertices(
         half = permute_halfgrid(half * batch.geom[:F, 3][:, None, None])
         channels.append(vertex_values_from_halfgrid(half, morphed_uv, cfg))
     return jnp.stack(channels, axis=-1)
+
+
+def grad_tile_span(mesh, uniforms, cfg: StaticTerrainConfig,
+                   max_anisotropy: float = 16.0):
+    """Per-TILE anisotropic footprint — the SAMPLE_GRAD answer for COLOR
+    attachments (VERDICT r2 item 9; reference attachments.wgsl:12-24
+    textureSampleGrad with anisotropy 16).
+
+    The reference's footprint is the screen-pixel preimage, elongated at
+    grazing angles along the view direction's surface projection. The
+    vertex-grid equivalent: project the view ray onto the surface tangent
+    plane, express that direction in tile-uv space via the vertex grid's
+    own world-per-uv Jacobian (finite differences — no extra fetches), and
+    stretch it by tan(theta) = |tangential| / (view . normal), clamped to
+    ``max_anisotropy`` (default 16 — the reference's sampler anisotropy,
+    terrain_bind_group.rs:118-127). The isotropic footprint unit is the HALF-GRID
+    sample spacing 1/(2 G) — the density the mip selection pins to
+    (patch_geometry), so one anisotropy unit ~= one sampled texel
+    regardless of which mip the tile landed on.
+
+    The per-vertex spans are reduced to ONE span per tile (grid mean).
+    Taps are applied at the half-grid RESAMPLE, not at the vertex window:
+    the per-vertex 3x3 tent window only reaches natural half-grid indices
+    [2i-2, 2i] — an unmorphed vertex sits at its TOP edge, so symmetric
+    uv offsets fall off the window and read zero weight (measured: taps
+    at the vertex level pulled values toward 0, doubling the grazing
+    deviation). Shifting the patch-texel start ``p0`` instead re-samples
+    the fetched patch at tap positions with exact bilinear tents (clip to
+    the patch is edge-clamp, not zero), shares the patch fetch across
+    taps, and lets the footprint reach real anisotropy > 2 — the taps
+    box-filter mip content the vertex/half grid undersamples, exactly
+    what textureSampleGrad's aniso taps do. View direction is near
+    constant across one tile at grazing distances, so the per-tile
+    reduction loses nothing where it matters.
+
+    Returns (F, 2) f32: full footprint extent in tile-uv units, oriented
+    along the view's surface projection.
+    """
+    pos = mesh.positions  # (F, G1, G1, 3)
+    n = mesh.normals
+
+    def diff(x, axis):
+        lo = jnp.concatenate(
+            [jax.lax.slice_in_dim(x, 0, 1, axis=axis),
+             jax.lax.slice_in_dim(x, 0, -1, axis=axis)], axis=axis,
+        )
+        hi = jnp.concatenate(
+            [jax.lax.slice_in_dim(x, 1, None, axis=axis),
+             jax.lax.slice_in_dim(x, -1, None, axis=axis)], axis=axis,
+        )
+        return (hi - lo) * 0.5
+
+    # world-per-uv Jacobian columns from the grid itself (du along lanes,
+    # dv along rows; grid spacing = 1/G in uv)
+    G = cfg.grid_size
+    xu = diff(pos, 2) * G  # d(world)/d(u)
+    xv = diff(pos, 1) * G
+    v = uniforms.view_world_position - pos
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-8)
+    vn = jnp.sum(v * n, axis=-1, keepdims=True)
+    t = v - vn * n  # tangential view component
+    tlen = jnp.linalg.norm(t, axis=-1, keepdims=True)
+    aniso = jnp.minimum(tlen / jnp.maximum(jnp.abs(vn), 1e-3), max_anisotropy)
+    tdir = t / jnp.maximum(tlen, 1e-8)
+    # uv direction of the tangential view ray (grid axes are near-orthogonal)
+    du = jnp.sum(tdir * xu, axis=-1) / jnp.maximum(
+        jnp.sum(xu * xu, axis=-1), 1e-12
+    )
+    dv = jnp.sum(tdir * xv, axis=-1) / jnp.maximum(
+        jnp.sum(xv * xv, axis=-1), 1e-12
+    )
+    d_uv = jnp.stack([du, dv], axis=-1)
+    d_uv = d_uv / jnp.maximum(
+        jnp.linalg.norm(d_uv, axis=-1, keepdims=True), 1e-8
+    )
+    sample_spacing = 1.0 / (2.0 * G)  # half-grid spacing in tile uv
+    span = d_uv * (aniso * sample_spacing)  # full anisotropic footprint
+    return jnp.mean(span, axis=(1, 2))  # (F, 2) per-tile
+
+
+def sample_attachment_vertices_grad(
+    block_arrays, tiles, morphed_uv, mesh, uniforms,
+    cfg: StaticTerrainConfig, plan: PatchPlan, max_value: float,
+    taps: int = 4, plan_matches_frame: bool = True,
+    max_anisotropy: float = 16.0,
+):
+    """Grad-weighted multi-tap attachment sampling (the textureSampleGrad
+    equivalent; see grad_tile_span): each tap shifts the half-grid
+    resample's patch-texel start along the per-tile anisotropy axis and
+    the taps are averaged — a box filter along the grazing direction.
+
+    The patch fetch is shared across taps; per tap the cost is one
+    half-grid resample (2 batched tent matmuls) + one window
+    interpolation. Always the staged XLA path (the fused Pallas kernel
+    bakes single-tap geometry); quality/cost measured in
+    docs/perf_notes.md (keep-or-retire per VERDICT r2 item 9).
+    """
+    F = cfg.tile_capacity
+    _, batch = plan_patch_batch(
+        tiles, uniforms, cfg, plan, block_arrays[0].shape[0], 64,
+        assume_sorted=True,
+    )
+    p0 = batch.geom[:F, 0:2]
+    dp = batch.geom[:F, 2]
+    valid = batch.geom[:F, 3]
+    # tile-uv offset du maps to texels as du * HG * dp (half-grid index k
+    # is tile-uv k/HG and sits at texel p0 + k*dp, patch_geometry)
+    HG = 2 * cfg.grid_size
+    span_tex = grad_tile_span(mesh, uniforms, cfg, max_anisotropy) * (
+        HG * dp
+    )[:, None]  # (F, 2) texels
+    ks = (np.arange(taps, dtype=np.float32) + 0.5) / taps - 0.5
+
+    channels = []
+    for block_array in block_arrays:
+        patch = fetch_patches_xla(block_array, batch.ids[:F, None])
+        acc = None
+        for k in ks:
+            half = halfgrid_resample(
+                patch, p0 + float(k) * span_tex, dp, cfg
+            ) / max_value
+            half = permute_halfgrid(half * valid[:, None, None])
+            v = vertex_values_from_halfgrid(half, morphed_uv, cfg)
+            acc = v if acc is None else acc + v
+        channels.append(acc / taps)
+    return jnp.stack(channels, axis=-1)

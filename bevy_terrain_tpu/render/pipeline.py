@@ -162,6 +162,7 @@ class Terrain:
                 # the reference's high_precision feature targets planetary
                 # scale; enable the Taylor relative path for spherical models
                 "high_precision": model.is_spherical,
+                "ellipsoidal": model.kind == "ellipsoidal",
                 **static_overrides,
             },
         )
@@ -689,13 +690,17 @@ class Terrain:
         return _qh(slab, uniforms, cfg, positions, scale, offset)
 
     def sample_attachment_grid(self, view_id, frame_output: TerrainFrameOutput,
-                               attachment_index: int):
+                               attachment_index: int, grad_taps: int = 1):
         """Sample an attachment (albedo, splat, ...) at the frame's morphed
         vertex uvs — the fragment-stage attachment fetch for custom
         materials (attachments.wgsl:12-43). Grid path only; returns
-        (F, G+1, G+1, C) f32 in [0, 1]."""
-        from bevy_terrain_tpu.ops.patch_sampling import sample_attachment_vertices
+        (F, G+1, G+1, C) f32 in [0, 1].
 
+        ``grad_taps > 1`` enables the anisotropic multi-tap option — the
+        SAMPLE_GRAD equivalent for color under grazing angles (reference
+        attachments.wgsl:12-24 textureSampleGrad anisotropy-16); cost is
+        ``grad_taps`` sampler passes (ops/patch_sampling.py
+        sample_attachment_vertices_grad; measured in docs/perf_notes.md)."""
         if not self.use_grid_mesh:
             raise RuntimeError("sample_attachment_grid requires the grid mesh path")
         attachment = self.atlas.attachments[attachment_index]
@@ -703,24 +708,33 @@ class Terrain:
         return self._sample_grid(
             tuple(attachment.block_arrays),
             frame_output.tiles,
-            frame_output.mesh.uvs,
+            frame_output.mesh,
             blob_dev,
             self._last_cfgs.get(view_id, self._static_cfgs[view_id]),
             attachment.patch_plan,
             attachment.config.format.max_value,
             attachment.patch_plan == self.atlas.attachments[0].patch_plan,
+            grad_taps,
         )
 
     @staticmethod
-    @partial(jax.jit, static_argnums=(4, 5, 6, 7))
-    def _sample_grid(block_arrays, tiles, uvs, uniform_blob, cfg, plan, max_value,
-                     plan_matches_frame):
-        from bevy_terrain_tpu.ops.patch_sampling import sample_attachment_vertices
+    @partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+    def _sample_grid(block_arrays, tiles, mesh, uniform_blob, cfg, plan,
+                     max_value, plan_matches_frame, grad_taps):
+        from bevy_terrain_tpu.ops.patch_sampling import (
+            sample_attachment_vertices, sample_attachment_vertices_grad,
+        )
 
         uniforms = unpack_frame_uniforms(
             uniform_blob, cfg.side_count, cfg.lod_count, cfg.tree_size
         )
+        if grad_taps > 1:
+            return sample_attachment_vertices_grad(
+                list(block_arrays), tiles, mesh.uvs, mesh, uniforms, cfg,
+                plan, max_value, taps=grad_taps,
+                plan_matches_frame=plan_matches_frame,
+            )
         return sample_attachment_vertices(
-            list(block_arrays), tiles, uvs, uniforms, cfg, plan, max_value,
-            plan_matches_frame=plan_matches_frame,
+            list(block_arrays), tiles, mesh.uvs, uniforms, cfg, plan,
+            max_value, plan_matches_frame=plan_matches_frame,
         )

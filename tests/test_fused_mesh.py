@@ -164,7 +164,12 @@ class TestFusedSpherical:
         view_f = np.asarray(uniforms.view_world_position)
         for key, i in ra.items():
             j = rb[key]
-            np.testing.assert_allclose(hf[i], hr[j], atol=5e-2, err_msg=str(key))
+            # the kernel computes lod targets via log2(base)-0.5*log2(d^2)
+            # (one transcendental pass); vertices sitting within ~1e-6 of
+            # an integer blend-lod boundary can flip floor(btarget) vs the
+            # staged path and take the other (equally valid) crossfade arm
+            # — observed <= 6 cm on the 9 km range at 3/289 vertices
+            np.testing.assert_allclose(hf[i], hr[j], atol=1e-1, err_msg=str(key))
             np.testing.assert_allclose(uf[i], ur[j], atol=1e-6, err_msg=str(key))
             # positions at planet scale: compare view-relative (f32 world
             # quantization at 6.4e6 m is ~0.5 m per ulp; allow a few)
@@ -179,6 +184,27 @@ class TestFusedSpherical:
                 pf.reshape(-1, 3)[nearmask], pr.reshape(-1, 3)[nearmask],
                 atol=0.2,
             )
+
+        # SPHERE normal shortcut (normal = (world - center)/R, no
+        # normal-matrix pass) vs the full NM path on the same sphere: the
+        # two kernel variants must agree to f32 rounding — the shortcut
+        # is exact for spheres, only ellipsoids need NM
+        cfg_nm = cfgk(ellipsoidal=True)
+        raw_nm, tiles_nm = meshgen.generate_mesh_fused(
+            refinement.refine_tiles(uniforms, cfg_nm), blocks, uniforms,
+            cfg_nm, plan, 65535.0, interpret=True,
+        )
+        mesh_nm = meshgen.fused_to_grid(raw_nm, tiles_nm, cfg_nm, uniforms)
+        np.testing.assert_allclose(
+            np.asarray(mesh_f.normals)[:n], np.asarray(mesh_nm.normals)[:n],
+            atol=1e-5,
+        )
+        # positions reassociate (sx + t vs fused fma chain): a few f32
+        # ulps at planet scale (1 ulp = 0.5 m at 6.4e6 m)
+        np.testing.assert_allclose(
+            pf[:n] - view_f, np.asarray(mesh_nm.positions)[:n] - view_f,
+            atol=2.0,
+        )
 
 
 class TestFusedAttachmentSampling:

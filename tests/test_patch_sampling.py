@@ -517,3 +517,113 @@ class TestVertexDensityMipBound:
         err_band = np.abs(h - smooth(u, v) * 100.0)
         assert np.median(err_band) < 1.0, float(np.median(err_band))
         assert np.percentile(err_band, 99) < 3.0, float(np.percentile(err_band, 99))
+
+
+class TestGradTaps:
+    """Anisotropic multi-tap color sampling (VERDICT r2 item 9): the
+    SAMPLE_GRAD equivalent for albedo under grazing angles (reference
+    attachments.wgsl:12-24, anisotropy 16). Heights keep the measured
+    vertex-density-mip answer (TestVertexDensityMipBound); COLOR adds the
+    optional grad-weighted taps tested here."""
+
+    @pytest.fixture(scope="class")
+    def striped(self, tmp_path_factory):
+        from PIL import Image
+
+        from bevy_terrain_tpu import PreprocessDataset, Preprocessor
+        from bevy_terrain_tpu.formats.tiff import array_to_source
+        from bevy_terrain_tpu.models import albedo_attachment, height_attachment
+        from bevy_terrain_tpu.terrain_data import TileAtlas
+
+        tmp = tmp_path_factory.mktemp("striped")
+        n = 1024
+        uv01 = (np.arange(n) + 0.5) / n
+        uu, vv = np.meshgrid(uv01, uv01, indexing="xy")
+        # flat terrain; stripes along u with period 64 source texels =
+        # period 4 texels at the grazing lod-0 tiles' mip 3 (512-texture,
+        # d=0 -> m=3): exactly representable through the mip chain (no
+        # box-filter kill), ~2 half-grid samples per period (dp ~= 2
+        # texels) — the band that aliases the vertex grid and that the
+        # anisotropic taps (footprint aniso*dp ~= 8 texels) box-filter
+        stripes = ((uu * n / 32).astype(np.int64) % 2).astype(np.float64)
+        rgba = np.stack(
+            [0.25 + 0.5 * stripes, 0.5 * np.ones_like(uu),
+             np.ones_like(uu) - 0.5 * stripes, np.ones_like(uu)],
+            axis=-1,
+        )
+        array_to_source(np.full_like(uu, 0.5), tmp / "h.png")
+        Image.fromarray((rgba * 255).astype(np.uint8), "RGBA").save(tmp / "a.png")
+        config = TerrainConfig(
+            lod_count=2,
+            model=TerrainModel.planar(np.zeros(3), 1000.0, 0.0, 100.0),
+            atlas_size=16, path="s", assets_root=str(tmp / "assets"),
+            attachments=(height_attachment(), albedo_attachment()),
+        )
+        atlas = TileAtlas(config)
+        pre = Preprocessor(atlas).clear_attachment(0)
+        pre.preprocess_tile(PreprocessDataset(0, str(tmp / "h.png"), lod_range=range(0, 2)))
+        pre.preprocess_tile(PreprocessDataset(1, str(tmp / "a.png"), lod_range=range(0, 2)))
+        pre.run(verbose=False)
+        t = Terrain(config)
+        t.add_view("cam", TerrainViewConfig(tile_capacity=256), queue_capacity=1024)
+        return t
+
+    def _frame(self, t, view):
+        for _ in range(30):
+            out = t.update({"cam": view})
+            if not t.atlas.state.to_load and not any(
+                a.loading for a in t.atlas.attachments
+            ):
+                break
+            time.sleep(0.01)
+        return t.update({"cam": view})["cam"]
+
+    def test_topdown_taps_match_single(self, striped):
+        """No anisotropy looking straight down: the multi-tap footprint
+        collapses and the result equals the single tap."""
+        t = striped
+        out = self._frame(t, np.array([0.0, 400.0, 0.0]))
+        a1 = np.asarray(t.sample_attachment_grid("cam", out, 1))
+        a8 = np.asarray(t.sample_attachment_grid("cam", out, 1, grad_taps=8))
+        mask = np.asarray(out.mesh.tile_mask)
+        pos = np.asarray(out.mesh.positions)[mask]
+        # near-nadir vertices only (the frame spans the whole plane)
+        near = np.linalg.norm(pos[..., [0, 2]], axis=-1) < 150.0
+        np.testing.assert_allclose(a8[mask][near], a1[mask][near], atol=5e-3)
+
+    def test_grazing_alias_reduced(self, striped):
+        """At grazing angles the single tap aliases the stripes (full
+        amplitude around the 0.5 mean); the anisotropic taps box-filter
+        along the compressed axis and pull every sample toward the mean."""
+        t = striped
+        view = np.array([-480.0, 54.0, 0.0])  # 4 m above the 50 m surface
+        out = self._frame(t, view)
+        a1 = np.asarray(t.sample_attachment_grid("cam", out, 1))
+        a8 = np.asarray(t.sample_attachment_grid("cam", out, 1, grad_taps=8))
+        mask = np.asarray(out.mesh.tile_mask)
+        pos = np.asarray(out.mesh.positions)[mask]
+        d = pos - view
+        # grazing AND far: view elevation angle below ~2 degrees
+        graze = (np.abs(d[..., 1]) / np.maximum(
+            np.linalg.norm(d, axis=-1), 1e-6)) < 0.035
+        graze &= np.linalg.norm(d, axis=-1) > 200.0
+        # the footprint elongates along the VIEW's surface projection —
+        # like textureSampleGrad, it only crosses the stripes (which vary
+        # along world x) where the view runs along x; viewed along z the
+        # taps slide parallel to the stripes and must NOT blur them
+        along_x = graze & (np.abs(d[..., 0]) > 3.0 * np.abs(d[..., 2]))
+        along_z = graze & (np.abs(d[..., 2]) > 3.0 * np.abs(d[..., 0]))
+        assert along_x.sum() > 500 and along_z.sum() > 500
+        # red channel stripes: 0.25 / 0.75 around the 0.5 mean
+        dev1 = np.abs(a1[mask][along_x][..., 0] - 0.5)
+        dev8 = np.abs(a8[mask][along_x][..., 0] - 0.5)
+        assert dev8.mean() < 0.65 * dev1.mean(), (
+            float(dev1.mean()), float(dev8.mean())
+        )
+        # no cross-stripe blur in the perpendicular direction (measured
+        # ratio ~0.98; guard against accidental isotropic blurring)
+        dz1 = np.abs(a1[mask][along_z][..., 0] - 0.5)
+        dz8 = np.abs(a8[mask][along_z][..., 0] - 0.5)
+        assert dz8.mean() > 0.9 * dz1.mean(), (
+            float(dz1.mean()), float(dz8.mean())
+        )

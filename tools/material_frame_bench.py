@@ -82,6 +82,21 @@ def main() -> None:
         )
         return tiles.tile_count, rgba
 
+    def mesh_rgba_grad(block_array, ab, u):
+        from bevy_terrain_tpu.ops.patch_sampling import (
+            sample_attachment_vertices_grad,
+        )
+
+        tiles = refinement.refine_tiles(u, cfg)
+        raw, tiles = meshgen.generate_mesh_fused(
+            tiles, block_array, u, cfg, plan, 65535.0
+        )
+        mesh = meshgen.fused_to_grid(raw, tiles, cfg, u)
+        rgba = sample_attachment_vertices_grad(
+            list(ab), tiles, mesh.uvs, mesh, u, cfg, plan, 255.0, taps=4
+        )
+        return tiles.tile_count, rgba
+
     def full(block_array, ab, u):
         tiles = refinement.refine_tiles(u, cfg)
         raw, tiles = meshgen.generate_mesh_fused(
@@ -100,6 +115,7 @@ def main() -> None:
     jmesh = jax.jit(mesh_only, in_shardings=(fmt, None))
     jgrid = jax.jit(mesh_grid, in_shardings=(fmt, None))
     jrgba = jax.jit(mesh_rgba, in_shardings=(fmt, (fmt,) * 4, None))
+    jgrad = jax.jit(mesh_rgba_grad, in_shardings=(fmt, (fmt,) * 4, None))
     jfull = jax.jit(full, in_shardings=(fmt, (fmt,) * 4, None))
     (c0, _), (c1, colors) = (
         jax.block_until_ready(jmesh(blocks, u1)),
@@ -107,10 +123,12 @@ def main() -> None:
     )
     jax.block_until_ready(jgrid(blocks, u1))
     jax.block_until_ready(jrgba(blocks, albedo_blocks, u1))
+    jax.block_until_ready(jgrad(blocks, albedo_blocks, u1))
     assert int(c0) == int(c1)
     t_mesh = device_time_ms(jmesh, blocks, u1, label="mat_mesh")
     t_grid = device_time_ms(jgrid, blocks, u1, label="mat_grid")
     t_rgba = device_time_ms(jrgba, blocks, albedo_blocks, u1, label="mat_rgba")
+    t_grad = device_time_ms(jgrad, blocks, albedo_blocks, u1, label="mat_grad")
     t_full = device_time_ms(jfull, blocks, albedo_blocks, u1, label="mat_full")
     print(
         f"mesh-only frame:        {t_mesh * 1e3:7.1f} us ({int(c0)} tiles)\n"
@@ -118,6 +136,8 @@ def main() -> None:
         f"(+{(t_grid - t_mesh) * 1e3:.1f})\n"
         f"+ RGBA x4 fetch:        {t_rgba * 1e3:7.1f} us "
         f"(+{(t_rgba - t_grid) * 1e3:.1f})\n"
+        f"  [RGBA x4 grad-4-tap:  {t_grad * 1e3:7.1f} us "
+        f"(+{(t_grad - t_grid) * 1e3:.1f} vs mesh; SAMPLE_GRAD option)]\n"
         f"+ PBR shade = full:     {t_full * 1e3:7.1f} us "
         f"(+{(t_full - t_rgba) * 1e3:.1f}) "
         f"(target <= 1500 us at capacity {cfg.tile_capacity})"
