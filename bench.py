@@ -242,33 +242,30 @@ def main() -> None:
                 ),
             ),
         )
-        def run_pp(device: bool, naive: bool = False) -> tuple[int, float]:
+        def run_pp(device, naive: bool = False) -> tuple[int, float, bool]:
             pp_atlas = TileAtlas(pp_config)
             t0 = _time.time()
-            Preprocessor(pp_atlas, device=device, naive=naive).clear_attachment(
-                0
-            ).preprocess_tile(
+            pp = Preprocessor(pp_atlas, device=device, naive=naive)
+            pp.clear_attachment(0).preprocess_tile(
                 PreprocessDataset(attachment_index=0, path=str(tmp / "src.png"),
                                   lod_range=range(0, 4))
             ).run(verbose=False)
-            return len(pp_atlas.state.existing_tiles), _time.time() - t0
+            return len(pp_atlas.state.existing_tiles), _time.time() - t0, pp.device
 
-        from bevy_terrain_tpu.utils.transfer import d2h_is_fast
-
-        # production path auto-selects: device stack ops when the D2H link
-        # is healthy, C++-assisted host pipeline otherwise. The baseline is
-        # the pinned single-thread numpy CPU-reference oracle (the
-        # straightforward implementation of the reference's preprocess
+        # production path auto-selects (Preprocessor device=None): device
+        # stack ops only when BOTH the D2H link and the dispatch round trip
+        # run at bus speed, C++-assisted host pipeline otherwise. The
+        # baseline is the pinned single-thread numpy CPU-reference oracle
+        # (the straightforward implementation of the reference's preprocess
         # shaders — BASELINE.md's ">10x the CPU reference" comparator).
         # All paths emit byte-identical .bin artifacts
         # (tests/test_preprocess_device.py).
-        use_device = d2h_is_fast()
-        run_pp(use_device)  # warm jit/import caches before timing
-        n_tiles, dt_prod = min(
-            (run_pp(use_device) for _ in range(2)), key=lambda r: r[1]
+        run_pp(None)  # warm jit/import caches before timing
+        n_tiles, dt_prod, used_device = min(
+            (run_pp(None) for _ in range(2)), key=lambda r: r[1]
         )
-        _, dt_naive = run_pp(False, naive=True)
-        label = "device" if use_device else "host-c++"
+        _, dt_naive, _ = run_pp(False, naive=True)
+        label = "device" if used_device else "host-c++"
         print(
             f"# preprocess: {n_tiles} tiles ({TEXTURE_SIZE}^2 R16, 4 lods) "
             f"{label} {n_tiles / dt_prod:.1f} tiles/s vs naive-cpu-reference "

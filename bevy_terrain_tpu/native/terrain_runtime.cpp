@@ -858,6 +858,8 @@ void tr_quantize(const float *src, int64_t n, double max_value,
   }
 }
 
+}  // extern "C" — templates cannot carry C linkage
+
 // Parent tile from its 4 children (ops/preprocess.py::downsample_tile,
 // downsample.wgsl:12-45): parent center texel = nodata-masked f64 average
 // of the 2x2 child-center quad, rounded half-to-even; borders zero.
@@ -883,16 +885,30 @@ static void downsample_impl(const void *const children[4], int64_t ts,
         if (C == 1) {
           // single channel: nodata == the value itself is zero, so the
           // masked sum is just the plain sum (zeros add nothing) and the
-          // count is branchless
+          // count is branchless. Pure integer arithmetic: a u16 quad sum
+          // is exact in f64, so np.rint(sum/count) (half-to-even) has an
+          // exact integer form for counts 4/2/1 — only the count==3 case
+          // needs the double divide (parity-fuzzed in test_native.py).
           for (int64_t j2 = 0; j2 < half; ++j2) {
-            const double v00 = r0[2 * j2], v01 = r0[2 * j2 + 1];
-            const double v10 = r1[2 * j2], v11 = r1[2 * j2 + 1];
-            const int count = (v00 != 0.0) + (v01 != 0.0) + (v10 != 0.0) +
-                              (v11 != 0.0);
-            const double sum = v00 + v01 + v10 + v11;
-            o[j2] = static_cast<T>(
-                count == 4 ? nearbyint(sum * 0.25)
-                           : (count > 0 ? nearbyint(sum / count) : 0));
+            const uint32_t v00 = r0[2 * j2], v01 = r0[2 * j2 + 1];
+            const uint32_t v10 = r1[2 * j2], v11 = r1[2 * j2 + 1];
+            const uint32_t sum = v00 + v01 + v10 + v11;
+            const int count = (v00 != 0) + (v01 != 0) + (v10 != 0) +
+                              (v11 != 0);
+            uint32_t res;
+            if (count == 4 || sum == 0) {
+              const uint32_t q = sum >> 2, r = sum & 3;
+              res = q + (r == 3) + ((r == 2) & (q & 1));
+            } else if (count == 2) {
+              const uint32_t q = sum >> 1;
+              res = q + (sum & 1 & q);
+            } else if (count == 1) {
+              res = sum;
+            } else {  // count == 3: 1/3 is inexact — defer to the f64 oracle
+              res = static_cast<uint32_t>(
+                  nearbyint(static_cast<double>(sum) / 3.0));
+            }
+            o[j2] = static_cast<T>(res);
           }
           continue;
         }
@@ -925,7 +941,7 @@ static void downsample_impl(const void *const children[4], int64_t ts,
   }
 }
 
-void tr_downsample(const void *c0, const void *c1, const void *c2,
+extern "C" void tr_downsample(const void *c0, const void *c1, const void *c2,
                    const void *c3, int32_t dtype_code, int64_t texture_size,
                    int64_t border, int64_t channels, void *out) {
   const void *children[4] = {c0, c1, c2, c3};
@@ -939,5 +955,3 @@ void tr_downsample(const void *c0, const void *c1, const void *c2,
                               static_cast<uint16_t *>(out));
   }
 }
-
-}  // extern "C"

@@ -42,6 +42,36 @@ def d2h_is_fast() -> bool:
     return _D2H_FAST
 
 
+_DISPATCH_FAST: bool | None = None
+
+# Preprocess-style pipelines sync the device once per lod stack; on a
+# PCIe/ICI-attached host that round trip is ~50 us, while tunneled rigs
+# measure 25-30 ms per sync — enough to erase a 13x compute advantage at
+# ~100 dispatches per dataset. 5 ms cleanly separates the two regimes.
+_DISPATCH_THRESHOLD_S = 5e-3
+
+
+def dispatch_is_fast() -> bool:
+    """True when a dispatch+sync round trip is cheap enough for per-stage
+    device pipelines (vs batching everything into one giant program)."""
+    global _DISPATCH_FAST
+    if _DISPATCH_FAST is None:
+        import jax
+        import jax.numpy as jnp
+
+        if jax.default_backend() == "cpu":
+            _DISPATCH_FAST = True
+        else:
+            f = jax.jit(lambda x: x + 1.0)
+            x = jnp.zeros((8,), jnp.float32)
+            f(x).block_until_ready()  # compile outside the timed window
+            t0 = time.perf_counter()
+            f(x).block_until_ready()
+            _DISPATCH_FAST = (time.perf_counter() - t0) < _DISPATCH_THRESHOLD_S
+    return _DISPATCH_FAST
+
+
 def _reset_probe() -> None:  # test hook
-    global _D2H_FAST
+    global _D2H_FAST, _DISPATCH_FAST
     _D2H_FAST = None
+    _DISPATCH_FAST = None

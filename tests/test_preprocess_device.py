@@ -214,3 +214,36 @@ class TestDeviceHostParity:
         assert delta_tc == host_tc
         for name in sorted(delta_bins):
             assert delta_bins[name] == host_bins[name], name
+
+
+class TestAutoSelect:
+    """Preprocessor(device=None) picks the device pipeline only when BOTH
+    transfer probes pass: a healthy D2H link (the stitched stacks stream
+    home) AND a cheap dispatch round trip (the pipeline syncs per lod
+    stack; 25-30 ms tunnel RTTs erase the 13.3x compute margin)."""
+
+    @pytest.mark.parametrize(
+        "d2h,dispatch,expect",
+        [(True, True, True), (True, False, False),
+         (False, True, False), (False, False, False)],
+    )
+    def test_requires_both_probes(self, tmp_path, monkeypatch, d2h, dispatch,
+                                  expect):
+        from bevy_terrain_tpu.config import AttachmentConfig, TerrainConfig
+        from bevy_terrain_tpu.math import TerrainModel
+        from bevy_terrain_tpu.preprocess import preprocessor as pre
+        from bevy_terrain_tpu.terrain_data import TileAtlas
+        from bevy_terrain_tpu.utils import transfer
+
+        monkeypatch.setattr(transfer, "_D2H_FAST", d2h)
+        monkeypatch.setattr(transfer, "_DISPATCH_FAST", dispatch)
+        config = TerrainConfig(
+            lod_count=2,
+            model=TerrainModel.planar(np.zeros(3), 1000.0, 0.0, 100.0),
+            atlas_size=64, path="t",
+            attachments=(AttachmentConfig(
+                name="height", texture_size=64, border_size=2,
+                mip_level_count=1),),
+            assets_root=str(tmp_path / "assets"))
+        pp = pre.Preprocessor(TileAtlas(config))
+        assert pp.device is expect
