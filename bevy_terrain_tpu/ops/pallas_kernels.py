@@ -1014,8 +1014,29 @@ def _fetch_resample_chunk(block_array, ids, geom, interpret: bool = False):
 # lod (attachments.wgsl:12-43 with the mip pinned by patch_geometry).
 
 
-def _attach_kernel(uq_ref, slots_ref, rlo_ref, rhi_ref, nuq_ref,
-                   ga_ref, uv_ref, hbm_ref, out_ref, cache, S, sem, cnt):
+def _make_attach_kernel(channels: int, bits: int):
+    """Fused attachment sampler kernel factory.
+
+    ``channels=1, bits=0``: the block array holds ONE raw channel per
+    int32 word (the height path and legacy planar storage). ``channels=C,
+    bits=B``: each word packs C channels little-endian at B bits each
+    (blocks_from_tile_packed) — ONE quad DMA serves every channel, and
+    the per-channel unpack+resample runs from VMEM (the fetch is the
+    DMA-count-bound cost, measured ~600 us/pass at 4096 tiles; packing
+    amortizes it C-fold)."""
+
+    def kernel(uq_ref, slots_ref, rlo_ref, rhi_ref, nuq_ref,
+               ga_ref, uv_ref, hbm_ref, out_ref, cache, S, sem, cnt):
+        _attach_kernel_body(channels, bits, uq_ref, slots_ref, rlo_ref,
+                            rhi_ref, nuq_ref, ga_ref, uv_ref, hbm_ref,
+                            out_ref, cache, S, sem, cnt)
+
+    return kernel
+
+
+def _attach_kernel_body(channels, bits, uq_ref, slots_ref, rlo_ref, rhi_ref,
+                        nuq_ref, ga_ref, uv_ref, hbm_ref, out_ref, cache, S,
+                        sem, cnt):
     s = pl.program_id(0)
     T = TILES_PER_STEP
 
@@ -1077,22 +1098,29 @@ def _attach_kernel(uq_ref, slots_ref, rlo_ref, rhi_ref, nuq_ref,
     )
     wy_all = tents[0:K]
     wx_all = tents[K:NT]
+    mask = jnp.int32((1 << bits) - 1) if bits else None
     for t in range(T):
         slot = slots_ref[s * T + t]
-        q = cache[slot % U_MAX].astype(jnp.float32)
-        c = jnp.mean(q)
-        qc = q - c
+        q_raw = cache[slot % U_MAX]
         wy = wy_all[:, t * P:(t + 1) * P]
         wx = wx_all[:, t * P:(t + 1) * P]
-        rows = jnp.dot(wy[:, 0:32], qc[:, 0:64],
-                       preferred_element_type=jnp.float32) + jnp.dot(
-            wy[:, 32:64], qc[:, 64:128], preferred_element_type=jnp.float32
-        )
-        half3 = jnp.dot(rows, wx.T, preferred_element_type=jnp.float32)
         base = t * GV
-        S[0, :, base:base + GV] = half3[:, 0:GV] + c
-        S[1, :, base:base + GV] = half3[:, GV:2 * GV] + c
-        S[2, :, base:base + GV] = half3[:, 2 * GV:3 * GV] + c
+        for ch in range(channels):
+            if bits:
+                q = (jax.lax.shift_right_logical(q_raw, jnp.int32(bits * ch))
+                     & mask).astype(jnp.float32)
+            else:
+                q = q_raw.astype(jnp.float32)
+            c = jnp.mean(q)
+            qc = q - c
+            rows = jnp.dot(wy[:, 0:32], qc[:, 0:64],
+                           preferred_element_type=jnp.float32) + jnp.dot(
+                wy[:, 32:64], qc[:, 64:128], preferred_element_type=jnp.float32
+            )
+            half3 = jnp.dot(rows, wx.T, preferred_element_type=jnp.float32)
+            S[3 * ch + 0, :, base:base + GV] = half3[:, 0:GV] + c
+            S[3 * ch + 1, :, base:base + GV] = half3[:, GV:2 * GV] + c
+            S[3 * ch + 2, :, base:base + GV] = half3[:, 2 * GV:3 * GV] + c
 
     # phase B: 3x3 window interpolation at the GIVEN uvs
     E = GV
@@ -1114,13 +1142,15 @@ def _attach_kernel(uq_ref, slots_ref, rlo_ref, rhi_ref, nuq_ref,
     mv = uv_ref[0, GV:2 * GV]
     lxw = mu * (2.0 * (GV - 1.0)) - jnp.maximum(2 * j - 2, 0).astype(jnp.float32)
     lyw = mv * (2.0 * (GV - 1.0)) - jnp.maximum(2 * sub - 2, 0).astype(jnp.float32)
-    h = jnp.zeros((GV, LANES), jnp.float32)
-    for b in range(3):
-        wyb = jnp.maximum(0.0, 1.0 - jnp.abs(lyw - b))
-        for a, slab in ((0, S[0]), (1, S[1]), (2, S[2])):
-            wxa = jnp.maximum(0.0, 1.0 - jnp.abs(lxw - a))
-            h = h + wyb * wxa * ysel(slab, b)
-    out_ref[0] = h * gV[3]
+    # the 3x3 tent weights depend only on the uvs — shared across channels
+    wys = [jnp.maximum(0.0, 1.0 - jnp.abs(lyw - b)) for b in range(3)]
+    wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(lxw - a)) for a in range(3)]
+    for ch in range(channels):
+        h = jnp.zeros((GV, LANES), jnp.float32)
+        for b in range(3):
+            for a in range(3):
+                h = h + wys[b] * wxs[a] * ysel(S[3 * ch + a], b)
+        out_ref[0, ch * GV:(ch + 1) * GV] = h * gV[3]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -1166,9 +1196,71 @@ def attach_sample_fused(block_array, batch, uvrows, interpret: bool = False):
         ],
     )
     return pl.pallas_call(
-        _attach_kernel,
+        _make_attach_kernel(1, 0),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((steps, GV, LANES), jnp.float32),
+        interpret=interpret,
+    )(batch.uq, batch.slots, batch.rank_lo, batch.rank_hi, batch.n_unique,
+      ga, uvrows, block_array)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("channels", "bits", "interpret")
+)
+def attach_sample_fused_packed(block_array, batch, uvrows, channels: int,
+                               bits: int, interpret: bool = False):
+    """Sample ALL channels of a packed multi-channel attachment at given
+    morphed uvs in ONE fused pass.
+
+    Args:
+      block_array: (N, 32, 128) int32 quad blocks with ``channels``
+        channels packed little-endian at ``bits`` bits each
+        (patch_sampling.blocks_from_tile_packed) — Rgba8: 4 x 8, Rg16:
+        2 x 16 (one texel == one word, as in the reference's texture
+        formats, src/terrain_data/mod.rs:38-84).
+      batch / uvrows: as :func:`attach_sample_fused`.
+
+    Returns (steps, channels * GV, LANES) f32 raw texel values, channel-
+    major rows (caller normalizes). The quad fetch happens ONCE for all
+    channels — this is what makes a 4-channel albedo cost ~1 fused pass
+    instead of 4 (the fetch is DMA-count bound; docs/perf_notes.md).
+    """
+    Fp = batch.slots.shape[0]
+    steps = Fp // TILES_PER_STEP
+    ga = jnp.transpose(
+        jnp.stack([
+            batch.geom[:, 0], batch.geom[:, 1], batch.geom[:, 2],
+            batch.geom[:, 3],
+            jnp.zeros((Fp,), jnp.float32), jnp.zeros((Fp,), jnp.float32),
+            jnp.zeros((Fp,), jnp.float32), jnp.zeros((Fp,), jnp.float32),
+        ]).reshape(8, steps, TILES_PER_STEP),
+        (1, 0, 2),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((1, 8, TILES_PER_STEP), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * GV, LANES), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, channels * GV, LANES), lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((U_MAX, 32, 128), jnp.int32),
+            pltpu.VMEM((3 * channels, K, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((2,), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        _make_attach_kernel(channels, bits),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (steps, channels * GV, LANES), jnp.float32),
         interpret=interpret,
     )(batch.uq, batch.slots, batch.rank_lo, batch.rank_hi, batch.n_unique,
       ga, uvrows, block_array)

@@ -150,6 +150,25 @@ def blocks_from_tile(mips: list[np.ndarray], plan: PatchPlan, channel: int = 0) 
     return np.concatenate(out, axis=0)
 
 
+def blocks_from_tile_packed(mips: list[np.ndarray], plan: PatchPlan) -> np.ndarray:
+    """Host: ALL channels of one tile packed little-endian into ONE int32
+    block run (channel c in bits [c*bits, (c+1)*bits)).
+
+    A multi-channel texel is one word in the reference's texture formats
+    (Rgba8 = 4 bytes, Rg16 = 2 u16s — src/terrain_data/mod.rs:38-84);
+    storing it planar would cost one ~600 us DMA-floor fused-sampler pass
+    PER channel (measured, docs/perf_notes.md). Packed, the fused sampler
+    fetches once and unpacks in-VMEM.
+    """
+    channels = mips[0].shape[-1]
+    bits = 8 * mips[0].dtype.itemsize
+    assert channels * bits <= 32, (channels, bits)
+    packed = blocks_from_tile(mips, plan, 0).astype(np.uint32)
+    for c in range(1, channels):
+        packed |= blocks_from_tile(mips, plan, c).astype(np.uint32) << (bits * c)
+    return packed.view(np.int32)
+
+
 # ---------------------------------------------------------------------------
 # Device pipeline
 # ---------------------------------------------------------------------------
@@ -396,14 +415,17 @@ def patch_geometry(
     return ids, p0, dp
 
 
-def fetch_patches_xla(block_array, ids):
+def fetch_patches_xla(block_array, ids, keep_int: bool = False):
     """XLA fallback patch assembly: one quad take + concat (F, 64, 64).
 
     ``block_array`` is (N, 32, 128) row-interleaved quad storage (see
     :func:`quad_rows`); only ids column 0 (tl) is fetched — tr/bl/br ride
-    along in the quad's lanes.
+    along in the quad's lanes. ``keep_int`` preserves the int32 words for
+    packed multi-channel storage (the caller unpacks then casts).
     """
-    q = jnp.take(block_array, ids[:, 0], axis=0).astype(jnp.float32)  # (F, 32, 128)
+    q = jnp.take(block_array, ids[:, 0], axis=0)  # (F, 32, 128)
+    if not keep_int:
+        q = q.astype(jnp.float32)
     return jnp.concatenate([q[:, :, :64], q[:, :, 64:]], axis=-2)  # (F, 64, 64)
 
 
@@ -559,6 +581,8 @@ def sample_attachment_vertices(
     plan: PatchPlan,
     max_value: float,
     plan_matches_frame: bool = True,
+    packed_channels: int = 0,
+    packed_bits: int = 0,
 ):
     """Sample an arbitrary attachment at the frame's morphed vertex uvs.
 
@@ -614,20 +638,46 @@ def sample_attachment_vertices(
             return jnp.transpose(x, (0, 2, 1, 3)).reshape(steps, G1, T * G1)
 
         uvrows = jnp.concatenate([rows_of(0), rows_of(1)], axis=1)
+
+        def vals_of(raw_gv):
+            return jnp.transpose(
+                raw_gv.reshape(steps, G1, T, G1), (0, 2, 1, 3)
+            ).reshape(Fp, G1, G1)[:F] / max_value
+
+        if packed_channels:
+            # ONE fused pass for every channel: the quad fetch is the
+            # DMA-count-bound cost and happens once for the packed word
+            raw = pallas_kernels.attach_sample_fused_packed(
+                block_arrays[0], batch, uvrows, packed_channels, packed_bits)
+            return jnp.stack(
+                [vals_of(raw[:, c * G1:(c + 1) * G1])
+                 for c in range(packed_channels)], axis=-1)
         for block_array in block_arrays:
             raw = pallas_kernels.attach_sample_fused(block_array, batch, uvrows)
-            vals = jnp.transpose(
-                raw.reshape(steps, G1, T, G1), (0, 2, 1, 3)
-            ).reshape(Fp, G1, G1)[:F]
-            channels.append(vals / max_value)
+            channels.append(vals_of(raw))
         return jnp.stack(channels, axis=-1)
-    for block_array in block_arrays:
-        patch = fetch_patches_xla(block_array, batch.ids[:F, None])
+
+    def xla_channel(patch):
         half = halfgrid_resample(
             patch, batch.geom[:F, 0:2], batch.geom[:F, 2], cfg
         ) / max_value
         half = permute_halfgrid(half * batch.geom[:F, 3][:, None, None])
-        channels.append(vertex_values_from_halfgrid(half, morphed_uv, cfg))
+        return vertex_values_from_halfgrid(half, morphed_uv, cfg)
+
+    if packed_channels:
+        packed = fetch_patches_xla(block_arrays[0], batch.ids[:F, None],
+                                   keep_int=True)
+        mask = jnp.int32((1 << packed_bits) - 1)
+        channels = [
+            xla_channel((jax.lax.shift_right_logical(
+                packed, jnp.int32(packed_bits * c)) & mask
+            ).astype(jnp.float32))
+            for c in range(packed_channels)
+        ]
+        return jnp.stack(channels, axis=-1)
+    for block_array in block_arrays:
+        channels.append(xla_channel(
+            fetch_patches_xla(block_array, batch.ids[:F, None])))
     return jnp.stack(channels, axis=-1)
 
 
@@ -713,7 +763,8 @@ def sample_attachment_vertices_grad(
     block_arrays, tiles, morphed_uv, mesh, uniforms,
     cfg: StaticTerrainConfig, plan: PatchPlan, max_value: float,
     taps: int = 4, plan_matches_frame: bool = True,
-    max_anisotropy: float = 16.0,
+    max_anisotropy: float = 16.0, packed_channels: int = 0,
+    packed_bits: int = 0,
 ):
     """Grad-weighted multi-tap attachment sampling (the textureSampleGrad
     equivalent; see grad_tile_span): each tap shifts the half-grid
@@ -742,9 +793,7 @@ def sample_attachment_vertices_grad(
     )[:, None]  # (F, 2) texels
     ks = (np.arange(taps, dtype=np.float32) + 0.5) / taps - 0.5
 
-    channels = []
-    for block_array in block_arrays:
-        patch = fetch_patches_xla(block_array, batch.ids[:F, None])
+    def tap_channel(patch):
         acc = None
         for k in ks:
             half = halfgrid_resample(
@@ -753,5 +802,21 @@ def sample_attachment_vertices_grad(
             half = permute_halfgrid(half * valid[:, None, None])
             v = vertex_values_from_halfgrid(half, morphed_uv, cfg)
             acc = v if acc is None else acc + v
-        channels.append(acc / taps)
+        return acc / taps
+
+    if packed_channels:
+        packed = fetch_patches_xla(block_arrays[0], batch.ids[:F, None],
+                                   keep_int=True)
+        mask = jnp.int32((1 << packed_bits) - 1)
+        channels = [
+            tap_channel((jax.lax.shift_right_logical(
+                packed, jnp.int32(packed_bits * c)) & mask
+            ).astype(jnp.float32))
+            for c in range(packed_channels)
+        ]
+        return jnp.stack(channels, axis=-1)
+    channels = [
+        tap_channel(fetch_patches_xla(block_array, batch.ids[:F, None]))
+        for block_array in block_arrays
+    ]
     return jnp.stack(channels, axis=-1)

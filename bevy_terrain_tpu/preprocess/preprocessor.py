@@ -119,15 +119,25 @@ class Preprocessor:
         if naive:
             device = False
         if device is None:
+            import jax
+
             from bevy_terrain_tpu.utils.transfer import d2h_is_fast, dispatch_is_fast
 
             # The device pipeline syncs once per lod stack and streams the
-            # stitched results home, so it only wins when BOTH the readback
-            # link and the dispatch round trip run at bus speed; tunneled
-            # rigs fail one or the other and must stay on the C++ host
-            # path (which the compute-only 13.3x device margin cannot
-            # recover at 25-30 ms per sync).
-            device = d2h_is_fast() and dispatch_is_fast()
+            # stitched results home, so it only wins when a real
+            # accelerator is attached AND both the readback link and the
+            # dispatch round trip run at bus speed; tunneled rigs fail a
+            # probe and must stay on the C++ host path (which the
+            # compute-only 13.3x device margin cannot recover at 25-30 ms
+            # per sync). On a cpu-only backend the jitted stack ops ARE
+            # host compute, and strictly slower than the C++ pipeline
+            # (measured 38 vs 330 tiles/s) — the device path there exists
+            # for parity tests (device=True explicitly).
+            device = (
+                jax.default_backend() != "cpu"
+                and d2h_is_fast()
+                and dispatch_is_fast()
+            )
         if readback is None and device:
             from bevy_terrain_tpu.utils.transfer import d2h_is_fast
 

@@ -441,12 +441,13 @@ class Terrain:
         attachment_samples = None
         if extra_meta:
             attachment_samples = {}
-            for blocks_i, (idx, plan_i, maxv_i, pm_i) in zip(
+            for blocks_i, (idx, plan_i, maxv_i, pm_i, pc_i, pb_i) in zip(
                 extra_blocks, extra_meta
             ):
                 attachment_samples[idx] = sample_attachment_vertices(
                     list(blocks_i), tiles, mesh.uvs, uniforms, cfg,
                     plan_i, maxv_i, plan_matches_frame=pm_i,
+                    packed_channels=pc_i, packed_bits=pb_i,
                 )
         return shade(
             mesh, tiles, uniforms, cfg,
@@ -546,6 +547,9 @@ class Terrain:
                             idx, att.patch_plan,
                             att.config.format.max_value,
                             att.patch_plan == height.patch_plan,
+                            att.config.format.channels if att.block_packed
+                            else 0,
+                            att.packed_bits,
                         ))
                     extra_blocks, extra_meta = tuple(eb), tuple(em)
                 # positional args: pjit rejects kwargs with in_shardings
@@ -715,12 +719,16 @@ class Terrain:
             attachment.config.format.max_value,
             attachment.patch_plan == self.atlas.attachments[0].patch_plan,
             grad_taps,
+            (attachment.config.format.channels
+             if attachment.block_packed else 0),
+            attachment.packed_bits,
         )
 
     @staticmethod
-    @partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+    @partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
     def _sample_grid(block_arrays, tiles, mesh, uniform_blob, cfg, plan,
-                     max_value, plan_matches_frame, grad_taps):
+                     max_value, plan_matches_frame, grad_taps,
+                     packed_channels, packed_bits):
         from bevy_terrain_tpu.ops.patch_sampling import (
             sample_attachment_vertices, sample_attachment_vertices_grad,
         )
@@ -733,8 +741,10 @@ class Terrain:
                 list(block_arrays), tiles, mesh.uvs, mesh, uniforms, cfg,
                 plan, max_value, taps=grad_taps,
                 plan_matches_frame=plan_matches_frame,
+                packed_channels=packed_channels, packed_bits=packed_bits,
             )
         return sample_attachment_vertices(
             list(block_arrays), tiles, mesh.uvs, uniforms, cfg, plan,
             max_value, plan_matches_frame=plan_matches_frame,
+            packed_channels=packed_channels, packed_bits=packed_bits,
         )

@@ -38,7 +38,9 @@ import numpy as np
 from bevy_terrain_tpu.config import AttachmentConfig, TerrainConfig
 from bevy_terrain_tpu.formats.tc import TC
 from bevy_terrain_tpu.math.coordinate import TileCoordinate
-from bevy_terrain_tpu.ops.patch_sampling import blocks_from_tile, make_patch_plan
+from bevy_terrain_tpu.ops.patch_sampling import (
+    blocks_from_tile, blocks_from_tile_packed, make_patch_plan,
+)
 from bevy_terrain_tpu.terrain_data import attachment as attachment_io
 from bevy_terrain_tpu import native
 
@@ -115,21 +117,34 @@ class AtlasAttachment:
             # (measured 2.15 ms). The explicit row-major Format avoids a
             # per-frame relayout (see pallas_kernels.block_format).
             shape = (atlas_size * self.patch_plan.total_blocks_per_slot, 32, 128)
+            # Multi-channel formats store ONE packed int32 block array
+            # (channel c in bits [c*B, (c+1)*B), B = 8 or 16) — a texel is
+            # one word, exactly as in the reference's texture formats
+            # (src/terrain_data/mod.rs:38-84). The fused sampler fetches
+            # the quad once and unpacks per channel in VMEM; planar
+            # storage would pay the DMA-count-bound fetch per channel
+            # (~600 us/pass at 4096 tiles, docs/perf_notes.md) and 4x the
+            # HBM for Rgba8.
+            self.block_packed = fmt.channels > 1
+            self.packed_bits = 8 * fmt.dtype.itemsize if self.block_packed else 0
+            n_arrays = 1 if self.block_packed else fmt.channels
             if jax.default_backend() == "tpu":
                 from bevy_terrain_tpu.ops.pallas_kernels import block_format
 
                 self.block_format = block_format()
                 self.block_arrays: list[jax.Array] = [
                     jax.device_put(jnp.zeros(shape, jnp.int32), self.block_format)
-                    for _ in range(fmt.channels)
+                    for _ in range(n_arrays)
                 ]
             else:
                 self.block_format = None
                 self.block_arrays = [
-                    jnp.zeros(shape, jnp.int32) for _ in range(fmt.channels)
+                    jnp.zeros(shape, jnp.int32) for _ in range(n_arrays)
                 ]
         else:
             self.block_arrays = None
+            self.block_packed = False
+            self.packed_bits = 0
         # staged uploads: (atlas_index, [mip arrays])
         self._staged: list[tuple[int, list[np.ndarray]]] = []
         self.loading: list[tuple[Future, "AtlasTileAttachment"]] = []
@@ -216,15 +231,26 @@ class AtlasAttachment:
                 if self.block_format is not None
                 else _scatter_tiles
             )
-            for c in range(self.config.format.channels):
-                block_vals = np.stack(
-                    [blocks_from_tile(mips, self.patch_plan, c) for _, mips in self._staged]
-                )  # (n, per_slot, 32, 128) row-interleaved quads
-                self.block_arrays[c] = scatter(
-                    self.block_arrays[c],
+            if self.block_packed:
+                block_vals = np.stack([
+                    blocks_from_tile_packed(mips, self.patch_plan)
+                    for _, mips in self._staged
+                ])  # (n, per_slot, 32, 128) packed int32 quads
+                self.block_arrays[0] = scatter(
+                    self.block_arrays[0],
                     jnp.asarray(block_idx.reshape(-1)),
-                    jnp.asarray(block_vals.reshape(-1, 32, 128).astype(np.int32)),
+                    jnp.asarray(block_vals.reshape(-1, 32, 128)),
                 )
+            else:
+                for c in range(self.config.format.channels):
+                    block_vals = np.stack(
+                        [blocks_from_tile(mips, self.patch_plan, c) for _, mips in self._staged]
+                    )  # (n, per_slot, 32, 128) row-interleaved quads
+                    self.block_arrays[c] = scatter(
+                        self.block_arrays[c],
+                        jnp.asarray(block_idx.reshape(-1)),
+                        jnp.asarray(block_vals.reshape(-1, 32, 128).astype(np.int32)),
+                    )
         n = len(self._staged)
         self._staged.clear()
         return n

@@ -237,6 +237,13 @@ class TestAutoSelect:
 
         monkeypatch.setattr(transfer, "_D2H_FAST", d2h)
         monkeypatch.setattr(transfer, "_DISPATCH_FAST", dispatch)
+        # auto-select also requires a real accelerator backend (on cpu the
+        # jit stack ops ARE host compute, strictly slower than the C++
+        # pipeline); pretend one is attached so the probe matrix is what
+        # is under test here
+        import jax
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
         config = TerrainConfig(
             lod_count=2,
             model=TerrainModel.planar(np.zeros(3), 1000.0, 0.0, 100.0),

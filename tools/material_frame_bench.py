@@ -43,16 +43,23 @@ def main() -> None:
     cfg, plan, blocks, u1, _ = build_scene()
     fmt = block_format()
     blocks = jax.device_put(blocks, fmt)
-    # 4 independent albedo channel block stores (Rgba8), same plan
+    # 4 albedo channels (Rgba8), same plan. Production stores them PACKED
+    # (one int32 word per texel, TileAtlas block_packed) — one quad DMA
+    # serves all four; the planar 4-array layout is kept for the
+    # comparison row.
     rng = np.random.default_rng(7)
+    albedo_chans = [
+        rng.integers(0, 256, blocks.shape).astype(np.uint32) for _ in range(4)
+    ]
     albedo_blocks = tuple(
-        jax.device_put(
-            jnp.asarray(
-                rng.integers(0, 255, blocks.shape).astype(np.int32)
-            ),
-            fmt,
-        )
-        for _ in range(4)
+        jax.device_put(jnp.asarray(c.astype(np.int32)), fmt)
+        for c in albedo_chans
+    )
+    packed_np = albedo_chans[0].copy()
+    for c in range(1, 4):
+        packed_np |= albedo_chans[c] << (8 * c)
+    albedo_packed = jax.device_put(
+        jnp.asarray(packed_np.view(np.int32)), fmt
     )
     material = StandardMaterial(base_color=albedo_material(1))
 
@@ -82,6 +89,18 @@ def main() -> None:
         )
         return tiles.tile_count, rgba
 
+    def mesh_rgba_packed(block_array, ap, u):
+        tiles = refinement.refine_tiles(u, cfg)
+        raw, tiles = meshgen.generate_mesh_fused(
+            tiles, block_array, u, cfg, plan, 65535.0
+        )
+        mesh = meshgen.fused_to_grid(raw, tiles, cfg, u)
+        rgba = sample_attachment_vertices(
+            [ap], tiles, mesh.uvs, u, cfg, plan, 255.0,
+            packed_channels=4, packed_bits=8,
+        )
+        return tiles.tile_count, rgba
+
     def mesh_rgba_grad(block_array, ab, u):
         from bevy_terrain_tpu.ops.patch_sampling import (
             sample_attachment_vertices_grad,
@@ -97,14 +116,15 @@ def main() -> None:
         )
         return tiles.tile_count, rgba
 
-    def full(block_array, ab, u):
+    def full(block_array, ap, u):
         tiles = refinement.refine_tiles(u, cfg)
         raw, tiles = meshgen.generate_mesh_fused(
             tiles, block_array, u, cfg, plan, 65535.0
         )
         mesh = meshgen.fused_to_grid(raw, tiles, cfg, u)
         rgba = sample_attachment_vertices(
-            list(ab), tiles, mesh.uvs, u, cfg, plan, 255.0
+            [ap], tiles, mesh.uvs, u, cfg, plan, 255.0,
+            packed_channels=4, packed_bits=8,
         )
         colors = shade(
             mesh, tiles, u, cfg, material=material, lighting=True,
@@ -115,31 +135,40 @@ def main() -> None:
     jmesh = jax.jit(mesh_only, in_shardings=(fmt, None))
     jgrid = jax.jit(mesh_grid, in_shardings=(fmt, None))
     jrgba = jax.jit(mesh_rgba, in_shardings=(fmt, (fmt,) * 4, None))
+    jpack = jax.jit(mesh_rgba_packed, in_shardings=(fmt, fmt, None))
     jgrad = jax.jit(mesh_rgba_grad, in_shardings=(fmt, (fmt,) * 4, None))
-    jfull = jax.jit(full, in_shardings=(fmt, (fmt,) * 4, None))
+    jfull = jax.jit(full, in_shardings=(fmt, fmt, None))
     (c0, _), (c1, colors) = (
         jax.block_until_ready(jmesh(blocks, u1)),
-        jax.block_until_ready(jfull(blocks, albedo_blocks, u1)),
+        jax.block_until_ready(jfull(blocks, albedo_packed, u1)),
     )
     jax.block_until_ready(jgrid(blocks, u1))
     jax.block_until_ready(jrgba(blocks, albedo_blocks, u1))
     jax.block_until_ready(jgrad(blocks, albedo_blocks, u1))
+    # packed parity vs planar at the same uvs (production stores packed)
+    rp = jax.block_until_ready(jpack(blocks, albedo_packed, u1))[1]
+    rq = jax.block_until_ready(jrgba(blocks, albedo_blocks, u1))[1]
+    perr = float(jnp.max(jnp.abs(rp - rq)))
     assert int(c0) == int(c1)
     t_mesh = device_time_ms(jmesh, blocks, u1, label="mat_mesh")
     t_grid = device_time_ms(jgrid, blocks, u1, label="mat_grid")
     t_rgba = device_time_ms(jrgba, blocks, albedo_blocks, u1, label="mat_rgba")
+    t_pack = device_time_ms(jpack, blocks, albedo_packed, u1, label="mat_pack")
     t_grad = device_time_ms(jgrad, blocks, albedo_blocks, u1, label="mat_grad")
-    t_full = device_time_ms(jfull, blocks, albedo_blocks, u1, label="mat_full")
+    t_full = device_time_ms(jfull, blocks, albedo_packed, u1, label="mat_full")
     print(
         f"mesh-only frame:        {t_mesh * 1e3:7.1f} us ({int(c0)} tiles)\n"
         f"+ fused_to_grid:        {t_grid * 1e3:7.1f} us "
         f"(+{(t_grid - t_mesh) * 1e3:.1f})\n"
-        f"+ RGBA x4 fetch:        {t_rgba * 1e3:7.1f} us "
-        f"(+{(t_rgba - t_grid) * 1e3:.1f})\n"
+        f"  [RGBA x4 planar:      {t_rgba * 1e3:7.1f} us "
+        f"(+{(t_rgba - t_grid) * 1e3:.1f}; legacy 4-pass layout)]\n"
+        f"+ RGBA packed fetch:    {t_pack * 1e3:7.1f} us "
+        f"(+{(t_pack - t_grid) * 1e3:.1f}; one DMA serves 4 channels, "
+        f"parity {perr:.2e})\n"
         f"  [RGBA x4 grad-4-tap:  {t_grad * 1e3:7.1f} us "
         f"(+{(t_grad - t_grid) * 1e3:.1f} vs mesh; SAMPLE_GRAD option)]\n"
         f"+ PBR shade = full:     {t_full * 1e3:7.1f} us "
-        f"(+{(t_full - t_rgba) * 1e3:.1f}) "
+        f"(+{(t_full - t_pack) * 1e3:.1f}) "
         f"(target <= 1500 us at capacity {cfg.tile_capacity})"
     )
 
