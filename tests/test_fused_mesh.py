@@ -312,3 +312,53 @@ class TestPackedAttachmentSampling:
                 .transpose(0, 2, 1, 3).reshape(Fp, G1, G1)[:n],
                 atol=1e-4,
             )
+
+    def test_rg16_packed_matches_per_channel(self, small_frame):
+        """2 x u16 packing (Rg16): 16-bit shift/mask unpack path, packed
+        fused kernel vs two per-channel passes."""
+        model, vc, uniforms, plan, blocks = small_frame
+        cfg = _cfg(vc)
+        tiles = refinement.refine_tiles(uniforms, cfg)
+        tiles, batch = patch_sampling.plan_patch_batch(
+            tiles, uniforms, cfg, plan, blocks.shape[0], pk.TILES_PER_STEP
+        )
+        F, G1 = cfg.tile_capacity, cfg.grid_size + 1
+        rng = np.random.default_rng(12)
+        chans = [
+            rng.integers(0, 65536, blocks.shape).astype(np.uint32)
+            for _ in range(2)
+        ]
+        packed = jnp.asarray((chans[0] | (chans[1] << 16)).view(np.int32))
+        uv = jnp.asarray(rng.uniform(0, 1, (F, G1, G1, 2)).astype(np.float32))
+        geom = batch.geom.at[:, 4].set(0.0)
+        batch = batch._replace(geom=geom)
+
+        T = pk.TILES_PER_STEP
+        Fp = batch.slots.shape[0]
+        steps = Fp // T
+        pad_n = Fp - F
+
+        def rows_of(comp):
+            x = uv[..., comp]
+            if pad_n:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((pad_n, G1, G1), x.dtype)], axis=0)
+            x = x.reshape(steps, T, G1, G1)
+            return jnp.transpose(x, (0, 2, 1, 3)).reshape(steps, G1, T * G1)
+
+        uvrows = jnp.concatenate([rows_of(0), rows_of(1)], axis=1)
+        raw2 = pk.attach_sample_fused_packed(
+            packed, batch, uvrows, 2, 16, interpret=True)
+        n = int(tiles.tile_count)
+        for c in range(2):
+            want = pk.attach_sample_fused(
+                jnp.asarray(chans[c].astype(np.int32)), batch, uvrows,
+                interpret=True)
+            got = raw2[:, c * G1:(c + 1) * G1]
+            np.testing.assert_allclose(
+                np.asarray(got).reshape(steps, G1, T, G1)
+                .transpose(0, 2, 1, 3).reshape(Fp, G1, G1)[:n],
+                np.asarray(want).reshape(steps, G1, T, G1)
+                .transpose(0, 2, 1, 3).reshape(Fp, G1, G1)[:n],
+                atol=3e-2,
+            )
