@@ -34,6 +34,8 @@ from bevy_terrain_tpu.terrain_data.sampling_api import sample_attachment, sample
 from bevy_terrain_tpu.render.pipeline import Terrain, TerrainFrameOutput  # noqa: E402
 from bevy_terrain_tpu.render.material import (  # noqa: E402
     DirectionalLight,
+    PointLight,
+    SpotLight,
     StandardMaterial,
     albedo_material,
     gradient_material,
@@ -49,6 +51,8 @@ __all__ = [
     "Coordinate",
     "DebugTerrain",
     "DirectionalLight",
+    "PointLight",
+    "SpotLight",
     "StandardMaterial",
     "albedo_material",
     "gradient_material",

@@ -214,11 +214,54 @@ def lambert_lighting(colors, normals, light_direction=(0.4, 0.8, 0.45)):
 @dataclasses.dataclass(frozen=True)
 class DirectionalLight:
     """A bevy DirectionalLight equivalent (direction TOWARD the scene;
-    ``illuminance`` folds the light color to linear [0, 1] scale)."""
+    ``illuminance`` folds the light color to linear [0, 1] scale).
+
+    ``shadow`` is the slot where bevy_pbr multiplies in its shadow-map
+    term (pbr_functions.wgsl: ``shadow = fetch_directional_shadow(...)``
+    before the light contribution is accumulated): a callable
+    ``fn(positions) -> (..., 1)`` factor in [0, 1] over world positions.
+    A buffer-producing engine has no shadow atlas; the consuming
+    rasterizer (or a height-field ray-march) supplies the factor here.
+    """
 
     direction: tuple = (-0.4, -0.8, -0.45)
     color: tuple = (1.0, 1.0, 1.0)
     illuminance: float = 1.0
+    shadow: Optional[Callable] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class PointLight:
+    """bevy PointLight equivalent: omni light at ``position`` with
+    Filament inverse-square distance attenuation windowed by ``range``
+    (bevy_pbr pbr_lighting.wgsl ``getDistanceAttenuation``:
+    ``saturate(1 - (d^2/range^2)^2)^2 / max(d^2, 1e-4)``).
+    ``intensity`` is pre-folded to linear [0, 1] scale like
+    DirectionalLight.illuminance."""
+
+    position: tuple = (0.0, 0.0, 0.0)
+    color: tuple = (1.0, 1.0, 1.0)
+    intensity: float = 1.0
+    range: float = 20.0
+    shadow: Optional[Callable] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class SpotLight:
+    """bevy SpotLight equivalent: a PointLight restricted to a cone.
+    The cone window follows bevy_pbr's ``spot_light``: the cosine of the
+    angle to ``direction`` remapped by ``1/(cos_inner - cos_outer)``,
+    saturated, then squared (smooth falloff between the inner and outer
+    angles, radians)."""
+
+    position: tuple = (0.0, 0.0, 0.0)
+    direction: tuple = (0.0, -1.0, 0.0)
+    color: tuple = (1.0, 1.0, 1.0)
+    intensity: float = 1.0
+    range: float = 20.0
+    inner_angle: float = 0.4
+    outer_angle: float = 0.6
+    shadow: Optional[Callable] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -262,12 +305,17 @@ def pbr_lighting(
     lights=(DirectionalLight(),),
     ambient=(0.05, 0.05, 0.05),
 ):
-    """Filament/bevy_pbr direct lighting for N directional lights.
+    """Filament/bevy_pbr direct lighting for N lights (directional,
+    point, spot — any mix; ``lights`` is a tuple of DirectionalLight /
+    PointLight / SpotLight).
 
-    Mirrors bevy_pbr's apply_pbr_lighting structure for the directional
-    loop (pbr_lighting.wgsl): GGX specular (D_GGX * V_SmithGGXCorrelated *
-    F_Schlick) + Burley diffuse, plus a flat ambient term on the diffuse
-    color (bevy's environment/irradiance stage is the consuming renderer's
+    Mirrors bevy_pbr's apply_pbr_lighting structure for the light loops
+    (pbr_lighting.wgsl): GGX specular (D_GGX * V_SmithGGXCorrelated *
+    F_Schlick) + Burley diffuse per light, Filament inverse-square
+    windowed attenuation for point/spot, each light's optional ``shadow``
+    hook multiplying its contribution (the shadow-map term's slot in
+    pbr_functions.wgsl), plus a flat ambient term on the diffuse color
+    (bevy's environment/irradiance stage is the consuming renderer's
     concern). All colors linear [0, 1].
     """
     base = colors[..., :3]
@@ -286,12 +334,43 @@ def pbr_lighting(
 
     out = jnp.asarray(np.asarray(emissive, np.float32)) * jnp.ones_like(base)
     for light in lights:
-        d = np.asarray(light.direction, np.float32)
-        l = -d / np.linalg.norm(d)  # direction_to_light
-        lc = (
-            np.asarray(light.color, np.float32) * np.float32(light.illuminance)
-        )
-        l = jnp.asarray(l)
+        # per-light direction-to-light l and radiance scale (bevy_pbr
+        # pbr_lighting.wgsl: directional_light / point_light / spot_light)
+        if isinstance(light, (PointLight, SpotLight)):
+            light_pos = jnp.asarray(np.asarray(light.position, np.float32))
+            to_light = light_pos - positions
+            dist_sq = jnp.maximum(
+                jnp.sum(to_light * to_light, axis=-1, keepdims=True), 1e-4
+            )
+            l = to_light / jnp.sqrt(dist_sq)
+            inv_range_sq = np.float32(1.0 / (light.range * light.range))
+            window = jnp.clip(1.0 - jnp.square(dist_sq * inv_range_sq), 0.0, 1.0)
+            atten = jnp.square(window) / dist_sq
+            if isinstance(light, SpotLight):
+                sd = np.asarray(light.direction, np.float32)
+                sd = sd / np.linalg.norm(sd)
+                cos_outer = np.float32(np.cos(light.outer_angle))
+                spot_scale = np.float32(
+                    1.0
+                    / max(np.cos(light.inner_angle) - np.cos(light.outer_angle),
+                          1e-4)
+                )
+                cos_angle = jnp.sum(-l * jnp.asarray(sd), axis=-1, keepdims=True)
+                spot = jnp.clip((cos_angle - cos_outer) * spot_scale, 0.0, 1.0)
+                atten = atten * jnp.square(spot)
+            lc = (
+                np.asarray(light.color, np.float32)
+                * np.float32(light.intensity)
+            )
+            radiance = jnp.asarray(lc) * atten
+        else:
+            d = np.asarray(light.direction, np.float32)
+            l = jnp.asarray(-d / np.linalg.norm(d))  # direction_to_light
+            lc = (
+                np.asarray(light.color, np.float32)
+                * np.float32(light.illuminance)
+            )
+            radiance = jnp.asarray(lc)
         h = l + v
         h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-8)
         nol = jnp.clip(jnp.sum(n * l, axis=-1, keepdims=True), 0.0, 1.0)
@@ -320,7 +399,12 @@ def pbr_lighting(
         fd = light_scatter * view_scatter * np.float32(1.0 / np.pi)
         diffuse = diffuse_color * fd
 
-        out = out + (diffuse + specular) * jnp.asarray(lc) * nol
+        contrib = (diffuse + specular) * radiance * nol
+        if getattr(light, "shadow", None) is not None:
+            # bevy_pbr pbr_functions.wgsl: the fetched shadow factor
+            # multiplies the whole light contribution
+            contrib = contrib * jnp.clip(light.shadow(positions), 0.0, 1.0)
+        out = out + contrib
     out = out + diffuse_color * jnp.asarray(np.asarray(ambient, np.float32))
     return jnp.concatenate([out, alpha], axis=-1)
 

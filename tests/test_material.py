@@ -187,6 +187,104 @@ class TestPbrLighting:
         )
         assert smooth[..., :3].max() > rough[..., :3].max() * 1.5
 
+    def test_two_lights_superpose(self):
+        # direct lighting is additive across the light loop
+        # (pbr_lighting.wgsl accumulates per-light contributions); with
+        # ambient/emissive zeroed, two lights = sum of each alone
+        a = mat.DirectionalLight(direction=(0.0, -1.0, 0.0),
+                                 color=(1.0, 0.5, 0.25), illuminance=0.6)
+        b = mat.DirectionalLight(direction=(-1.0, -1.0, 0.0),
+                                 color=(0.2, 0.4, 1.0), illuminance=0.9)
+        c, n, p, v = self._flat(base=(0.7, 0.6, 0.5))
+        kw = dict(ambient=(0, 0, 0), reflectance=0.4,
+                  perceptual_roughness=0.5)
+        both = np.asarray(mat.pbr_lighting(c, n, p, v, lights=(a, b), **kw))
+        only_a = np.asarray(mat.pbr_lighting(c, n, p, v, lights=(a,), **kw))
+        only_b = np.asarray(mat.pbr_lighting(c, n, p, v, lights=(b,), **kw))
+        np.testing.assert_allclose(
+            both[..., :3], only_a[..., :3] + only_b[..., :3], atol=1e-5
+        )
+
+    def test_point_light_falloff_and_range(self):
+        # Filament windowed inverse-square: nearer is brighter, beyond
+        # `range` the window zeroes the light entirely
+        c, n, p, v = self._flat()
+        near = mat.PointLight(position=(0.0, 2.0, 0.0), range=20.0)
+        far = mat.PointLight(position=(0.0, 8.0, 0.0), range=20.0)
+        out_of_range = mat.PointLight(position=(0.0, 30.0, 0.0), range=20.0)
+        kw = dict(ambient=(0, 0, 0))
+        lit_near = np.asarray(mat.pbr_lighting(c, n, p, v, lights=(near,), **kw))
+        lit_far = np.asarray(mat.pbr_lighting(c, n, p, v, lights=(far,), **kw))
+        lit_out = np.asarray(
+            mat.pbr_lighting(c, n, p, v, lights=(out_of_range,), **kw)
+        )
+        assert lit_near[..., :3].mean() > lit_far[..., :3].mean() * 2.0
+        np.testing.assert_allclose(lit_out[..., :3], 0.0, atol=1e-6)
+
+    def test_spot_cone_window(self):
+        # a spot pointing straight down lights the surface under it; the
+        # same light aimed sideways leaves it dark (cone window)
+        c, n, p, v = self._flat()
+        down = mat.SpotLight(position=(0.0, 3.0, 0.0),
+                             direction=(0.0, -1.0, 0.0),
+                             inner_angle=0.5, outer_angle=0.8)
+        aside = mat.SpotLight(position=(0.0, 3.0, 0.0),
+                              direction=(1.0, 0.0, 0.0),
+                              inner_angle=0.5, outer_angle=0.8)
+        kw = dict(ambient=(0, 0, 0))
+        lit = np.asarray(mat.pbr_lighting(c, n, p, v, lights=(down,), **kw))
+        dark = np.asarray(mat.pbr_lighting(c, n, p, v, lights=(aside,), **kw))
+        assert lit[..., :3].mean() > 0.01
+        np.testing.assert_allclose(dark[..., :3], 0.0, atol=1e-6)
+
+    def test_shadow_hook_multiplies_contribution(self):
+        # the shadow hook is bevy's fetch_*_shadow slot: factor 0 removes
+        # the light, 0.5 halves it, and only that light is affected
+        c, n, p, v = self._flat()
+        lit_l = mat.DirectionalLight(direction=(0.0, -1.0, 0.0))
+        kw = dict(ambient=(0, 0, 0))
+
+        def half(positions):
+            return np.float32(0.5) * np.ones(positions.shape[:-1] + (1,),
+                                             np.float32)
+
+        def full_shadow(positions):
+            return np.zeros(positions.shape[:-1] + (1,), np.float32)
+
+        base = np.asarray(mat.pbr_lighting(c, n, p, v, lights=(lit_l,), **kw))
+        halved = np.asarray(mat.pbr_lighting(
+            c, n, p, v,
+            lights=(mat.DirectionalLight(direction=(0.0, -1.0, 0.0),
+                                         shadow=half),),
+            **kw,
+        ))
+        gone = np.asarray(mat.pbr_lighting(
+            c, n, p, v,
+            lights=(mat.DirectionalLight(direction=(0.0, -1.0, 0.0),
+                                         shadow=full_shadow),),
+            **kw,
+        ))
+        np.testing.assert_allclose(halved[..., :3], base[..., :3] * 0.5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(gone[..., :3], 0.0, atol=1e-6)
+
+    def test_mixed_light_types_through_terrain(self, shaded_terrain):
+        # >= 2 lights of different kinds flow through the full frame step
+        t, view, _ = shaded_terrain
+        m = mat.StandardMaterial(
+            perceptual_roughness=0.6, reflectance=0.3,
+            lights=(
+                mat.DirectionalLight(direction=(-0.3, -0.8, -0.5)),
+                mat.PointLight(position=(100.0, 200.0, 100.0),
+                               range=2000.0, intensity=0.5),
+            ),
+        )
+        t.set_shading(material=m, lighting=True)
+        out = t.update({"cam": view})["cam"]
+        c = np.asarray(out.colors)[np.asarray(out.mesh.tile_mask)]
+        assert np.isfinite(c).all() and c.min() >= 0.0
+        t.set_shading(lighting=True)
+
     def test_standard_material_through_terrain(self, shaded_terrain):
         t, view, _ = shaded_terrain
         m = mat.StandardMaterial(perceptual_roughness=0.5, metallic=0.1,
