@@ -17,6 +17,18 @@ GOLDEN_DIR = Path(__file__).resolve().parent / "goldens"
 
 
 def _load(name):
+    # Node selections are integer-exact PER BACKEND but not across
+    # backends: f32 at planetary scale survives a large cancellation
+    # (|world - view| ~ 3e3 from ~6.4e6 operands), so CPU and TPU land
+    # ~1e-3 apart and threshold-tied tiles flip. When a backend-suffixed
+    # golden exists (tools/make_goldens.py --backend-nodes), it pins this
+    # backend exactly; test_cross_backend_flips_are_threshold_ties pins
+    # the flips to the tie envelope.
+    import jax
+
+    suffixed = GOLDEN_DIR / f"{name}.{jax.default_backend()}.npz"
+    if suffixed.exists():
+        return np.load(suffixed)
     p = GOLDEN_DIR / f"{name}.npz"
     if not p.exists():
         pytest.fail(f"missing committed golden {p}; run tools/make_goldens.py")
@@ -37,6 +49,81 @@ class TestNodeSelectionGoldens:
         assert got.shape == want.shape, (got.shape, want.shape)
         np.testing.assert_array_equal(got, want)
 
+    def test_cross_backend_flips_are_threshold_ties(self):
+        """Where per-backend goldens diverge, every difference must be a
+        FLIPPED SUBDIVISION of a parent whose subdivision margin sits
+        inside the planetary-scale f32 envelope (|d - t| / t < 5e-3 at
+        6.4e6 m radius; measured flips are within 2.5e-3) — never a
+        structural difference. Skipped when no backend golden exists."""
+        from tools.make_goldens import node_selection_cases
+
+        from bevy_terrain_tpu.config import TerrainViewConfig
+        from bevy_terrain_tpu.ops import coords
+        from tests.test_ops import build_frame
+
+        pairs = []
+        for name, model, view, lods in node_selection_cases():
+            base = GOLDEN_DIR / f"{name}.npz"
+            for suffixed in GOLDEN_DIR.glob(f"{name}.*.npz"):
+                pairs.append((np.load(base)["nodes"],
+                              np.load(suffixed)["nodes"], model, view, lods))
+        if not pairs:
+            pytest.skip("no backend-divergent goldens committed")
+        for base, other, model, view, lods in pairs:
+            base_set = {tuple(r) for r in base}
+            other_set = {tuple(r) for r in other}
+
+            def children(n):
+                s, l, x, y = n
+                return {(s, l + 1, 2 * x + dx, 2 * y + dy)
+                        for dx in (0, 1) for dy in (0, 1)}
+
+            flipped = []
+            for n in sorted(base_set ^ other_set):
+                in_base = n in base_set
+                has, lacks = (other_set, base_set) if in_base else (base_set, other_set)
+                if children(n) <= has:
+                    flipped.append(n)  # `has`'s backend subdivided it
+                else:
+                    # must be a child of a flipped parent, accounted there
+                    s, l, x, y = n
+                    parent = (s, l - 1, x // 2, y // 2)
+                    assert parent in (base_set ^ other_set) or parent in flipped, (
+                        f"structural divergence at {n}: not a flipped "
+                        f"subdivision"
+                    )
+            assert flipped, "diverging goldens with no flipped parent"
+            vc = TerrainViewConfig(tile_capacity=32768)
+            cfg, uniforms = build_frame(model, vc, view, lods,
+                                        queue_capacity=32768)
+            for n in flipped:
+                side = np.asarray([n[0]], np.int32)
+                lod = np.asarray([n[1]], np.int32)
+                xy = np.asarray([n[2:]], np.int32)
+                uv = coords.compute_subdivision_coordinate(
+                    side, lod, xy, uniforms.taylor, cfg.origin_lod,
+                    cfg.side_count,
+                )
+                dist = coords.approximate_view_distance(
+                    side, lod, xy, uv, uniforms, cfg
+                )
+                thresh = uniforms.subdivision_distance / coords.tile_count(lod)
+                margin = abs(float(np.asarray(dist)[0])
+                             / float(np.asarray(thresh)[0]) - 1.0)
+                assert margin < 5e-3, (n, margin)
+
+
+def _mesh_atol(cpu: float, tpu: float) -> float:
+    """Streamed-mesh tolerance by backend. CPU regenerates the goldens'
+    own staged-XLA path (tight). Non-CPU runs the fused Pallas kernel
+    whose resample dots ride the MXU's bf16 passes — the documented
+    ~0.2% -of-height-range envelope (PARITY.md; measured live: planar
+    0.18 m of 250 m, spherical 7.1 m of 9000 m). Exact TPU numerics are
+    pinned separately by TestTpuFusedGoldens' measured bounds."""
+    import jax
+
+    return cpu if jax.default_backend() == "cpu" else tpu
+
 
 class TestMeshGolden:
     def test_streamed_mesh_matches(self):
@@ -46,8 +133,9 @@ class TestMeshGolden:
             nodes, heights, positions = mesh_case(Path(tmp))
         g = _load("mesh_planar_streamed")
         np.testing.assert_array_equal(nodes, g["nodes"])
-        np.testing.assert_allclose(heights, g["heights"], atol=1e-3)
-        np.testing.assert_allclose(positions, g["positions"], atol=1e-3)
+        atol = _mesh_atol(1e-3, 0.25)
+        np.testing.assert_allclose(heights, g["heights"], atol=atol)
+        np.testing.assert_allclose(positions, g["positions"], atol=atol)
 
     def test_streamed_spherical_mesh_matches(self):
         """Earth-radius flagship streamed frame (lod 13, culled, Taylor hp
@@ -62,8 +150,8 @@ class TestMeshGolden:
         np.testing.assert_array_equal(nodes, g["nodes"])
         dn, dh, dp = spherical_deep_subset(nodes, heights, positions)
         np.testing.assert_array_equal(dn, g["deep_nodes"])
-        np.testing.assert_allclose(dh, g["deep_heights"], atol=1e-3)
-        np.testing.assert_allclose(dp, g["deep_positions"], atol=1e-2)
+        np.testing.assert_allclose(dh, g["deep_heights"], atol=_mesh_atol(1e-3, 25.0))
+        np.testing.assert_allclose(dp, g["deep_positions"], atol=_mesh_atol(1e-2, 25.0))
 
 
 class TestTpuFusedGoldens:

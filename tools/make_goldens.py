@@ -213,6 +213,38 @@ def spherical_deep_subset(nodes, heights, positions, min_lod=10, cap=192):
     return nodes[idx], heights[idx], positions[idx]
 
 
+def backend_nodes() -> None:
+    """Write per-backend node goldens ``{name}.{backend}.npz`` for cases
+    where the CURRENT backend's integer selection differs from the base
+    (CPU) golden.
+
+    Needed because f32 at planetary scale is backend-dependent: on the
+    6.4e6 m sphere the view distance survives a large cancellation
+    (|world - view| ~ 3e3 from operands ~6e6), so CPU and TPU land
+    metres apart (~1e-3 relative) and tiles whose subdivision margin is
+    inside that envelope flip. Node selections stay EXACT per backend;
+    tests/test_goldens.py loads the backend-suffixed file when present
+    (cross-backend flips are pinned to threshold ties by
+    TestNodeSelectionGoldens::test_cross_backend_flips_are_threshold_ties).
+    """
+    import jax
+
+    backend = jax.default_backend()
+    GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
+    for name, model, view, lods in node_selection_cases():
+        nodes = refine_nodes(model, view, lods)
+        base = np.load(GOLDEN_DIR / f"{name}.npz")["nodes"]
+        out = GOLDEN_DIR / f"{name}.{backend}.npz"
+        if nodes.shape == base.shape and (nodes == base).all():
+            if out.exists():
+                out.unlink()
+            print(f"{name}: matches base golden on {backend}; no suffix file")
+        else:
+            np.savez_compressed(out, nodes=nodes)
+            print(f"{name}: {len(nodes)} nodes on {backend} "
+                  f"(base {len(base)}) -> {out.name}")
+
+
 def main() -> None:
     # goldens are platform-pinned: generated AND compared on the CPU
     # backend (the tests run under conftest's CPU forcing; TPU f32 output
@@ -246,4 +278,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--backend-nodes" in sys.argv:
+        backend_nodes()
+    else:
+        main()
