@@ -33,12 +33,13 @@ def multi_view_frame_step(
     views_per_device: int = 1,
     attachment_scale: float = 124 / 128,
     attachment_offset: float = 2 / 128,
+    audit: bool = False,
 ):
     """Run one frame step for ``len(devices) * views_per_device`` views.
 
-    ``uniforms`` is a single view's FrameUniforms; it is tiled to all views
-    (callers with real distinct views pass a pre-stacked pytree through
-    :func:`stack_uniforms` instead — see ``MultiViewTerrain``).
+    ``uniforms`` is a single view's FrameUniforms tiled to all views, OR a
+    LIST of per-view FrameUniforms (distinct cameras) stacked via
+    :func:`stack_uniforms`.
 
     Returns (positions, heights, tile_counts) with a leading views axis
     sharded over the mesh.
@@ -46,9 +47,13 @@ def multi_view_frame_step(
     n_views = len(devices) * views_per_device
     mesh = Mesh(np.asarray(devices), ("views",))
 
-    stacked = jax.tree.map(
-        lambda x: jnp.broadcast_to(x[None], (n_views,) + x.shape), uniforms
-    )
+    if isinstance(uniforms, (list, tuple)):
+        assert len(uniforms) == n_views
+        stacked = stack_uniforms(list(uniforms))
+    else:
+        stacked = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (n_views,) + x.shape), uniforms
+        )
     stacked = jax.device_put(stacked, NamedSharding(mesh, P("views")))
     slab = jax.device_put(slab, NamedSharding(mesh, P()))
 
@@ -72,6 +77,11 @@ def multi_view_frame_step(
             check_vma=False,
         )
     )
+    if audit:
+        from bevy_terrain_tpu.parallel.hlo_audit import audit_compiled
+
+        compiled = step.lower(slab, stacked).compile()
+        return compiled(slab, stacked), audit_compiled(compiled)
     return step(slab, stacked)
 
 
@@ -218,10 +228,16 @@ class MultiViewTerrain:
             # ids (F, 1) global block indices OF THIS DEVICE'S VIEW. The
             # quads it needs are scattered across all shards, so the ids
             # all_gather over the axis, every device serves every view's
-            # requests from its shard, and one psum reconstructs all views'
-            # patches everywhere (each block has exactly one owner); the
-            # device then keeps its own view's slice. This is the
-            # tensor-parallel atlas cost: O(n_views * F * patch) over ICI.
+            # requests from its shard, and ONE psum_scatter both reduces
+            # (each block has exactly one owner, so the sum reconstructs)
+            # and routes chunk i — view i's patches — to device i. vs the
+            # r03 full psum: half the ICI bytes (reduce-scatter vs
+            # all-reduce) and no (n, F, ...) full reduction materialized
+            # on any device. The ICI volume is still O(n_views * F *
+            # patch) per frame (dryrun_multichip prints the audited
+            # number); a capacity-factor all_to_all exchange (route only
+            # owned requests, MoE-dispatch style) is the documented next
+            # step if production meshes make this the bottleneck.
             rank = jax.lax.axis_index("views")
             ids_all = jax.lax.all_gather(ids[:, 0], "views")  # (n, F)
             local = ids_all - rank * per_device
@@ -232,8 +248,7 @@ class MultiViewTerrain:
                 axis=0,
             ).astype(jnp.float32).reshape(local.shape + blocks_local.shape[1:])
             v = v * ok[..., None, None]
-            full = jax.lax.psum(v, "views")  # (n, F, 32, 128)
-            mine = jax.lax.dynamic_index_in_dim(full, rank, 0, keepdims=False)
+            mine = jax.lax.psum_scatter(v, "views")  # (F, 32, 128)
             return jnp.concatenate(
                 [mine[:, :, :64], mine[:, :, 64:]], axis=-2
             )
@@ -321,3 +336,14 @@ class MultiViewTerrain:
         return {
             v: MultiViewFrameOutput(out, i) for i, v in enumerate(self.view_ids)
         }
+
+    def audit_step(self) -> dict:
+        """Collective op count + per-device byte volume of the COMPILED
+        frame step (parallel/hlo_audit.py). Call after one update().
+        Replicated-atlas mode must report {} — the step is then
+        mesh-size-independent; sharded-atlas mode reports its
+        all-gather + reduce-scatter fetch volume."""
+        from bevy_terrain_tpu.parallel.hlo_audit import audit_compiled
+
+        compiled = self._step.lower(self._blocks, self._last_stacked).compile()
+        return audit_compiled(compiled)
