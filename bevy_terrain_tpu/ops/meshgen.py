@@ -237,6 +237,10 @@ def generate_mesh_fused(
     plan,
     max_value: float,
     interpret: bool = False,
+    albedo_blocks=None,
+    albedo_channels: int = 0,
+    albedo_bits: int = 0,
+    ablate: frozenset = frozenset(),
 ):
     """Single fused Pallas kernel for the whole planar mesh stage.
 
@@ -350,6 +354,8 @@ def generate_mesh_fused(
         block_array, batch, tile_params, fs, step_flags,
         spherical=cfg.spherical, origin_lod=cfg.origin_lod,
         interpret=interpret, ellipsoidal=cfg.ellipsoidal,
+        albedo_blocks=albedo_blocks, albedo_channels=albedo_channels,
+        albedo_bits=albedo_bits, ablate=ablate,
     )
     return raw, tiles
 
@@ -388,6 +394,27 @@ def fused_to_grid(raw, tiles: RefinementOutput, cfg: StaticTerrainConfig,
         positions=positions, normals=normals, uvs=uvs, heights=heights,
         tile_mask=tile_mask,
     )
+
+
+def fused_albedo_to_grid(raw, cfg: StaticTerrainConfig, channels: int,
+                         max_value: float):
+    """Extract the merged kernel's fused-albedo rows (generate_mesh_fused
+    with ``albedo_channels=C``) as (F, G+1, G+1, C) f32 in [0, 1] — the
+    same product as sample_attachment_vertices, one kernel earlier."""
+    from bevy_terrain_tpu.ops import pallas_kernels as pk
+
+    steps, total_rows, lanes = raw.shape
+    T = lanes // pk.GV
+    F = cfg.tile_capacity
+    base = total_rows // pk.GV - channels
+
+    def rows(k):
+        x = raw[:, pk.GV * k:pk.GV * (k + 1), :].reshape(steps, pk.GV, T, pk.GV)
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(steps * T, pk.GV, pk.GV)[:F]
+
+    return jnp.stack(
+        [rows(base + c) for c in range(channels)], axis=-1
+    ) / max_value
 
 
 def generate_mesh(

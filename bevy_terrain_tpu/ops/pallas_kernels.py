@@ -369,23 +369,49 @@ GR_ROWS = 48
 C_SQR_F = 0.87 * 0.87  # cube-sphere warp constant (math/coordinate.py)
 
 
-def _make_mesh_kernel(spherical: bool, origin_lod: int, ellipsoidal: bool):
+def _make_mesh_kernel(spherical: bool, origin_lod: int, ellipsoidal: bool,
+                      alb_channels: int = 0, alb_bits: int = 0,
+                      u_max: int = U_MAX, ablate: frozenset = frozenset()):
+    """``alb_channels > 0`` fuses a packed multi-channel attachment fetch
+    into the mesh kernel (the full material frame in ONE pass): a second
+    quad stream rides the SAME schedule, and the albedo resample reuses
+    the height tents and the phase-B window weights — the two per-tile
+    costs the standalone attach kernel pays again.
+
+    ``ablate`` (measurement harness ONLY, tools/earth_kernel_ablation.py)
+    statically removes named kernel pieces to attribute step cost; empty
+    (the default) generates exactly the production kernel."""
+
     def kernel(*refs):
-        ins = refs[:10]  # 7 prefetched scalars + gr8 + hbm + out
-        if spherical:
-            cache, S, HP, sem, cnt = refs[10:]
+        if alb_channels:
+            ins = refs[:11]  # 7 prefetched + gr8 + hbm + albedo hbm + out
+            if spherical:
+                cache, acache, SA, HP, sem, asem, cnt = refs[11:]
+            else:
+                cache, acache, SA, sem, asem, cnt = refs[11:]
+                HP = None
+            S = None  # heights share the concatenated SA slabs
+            albedo = (alb_channels, alb_bits, ins[9], acache, SA, asem)
+            args = ins[:9] + (ins[10],)
         else:
-            cache, S, sem, cnt = refs[10:]
-            HP = None
-        _mesh_kernel_body(spherical, origin_lod, ellipsoidal, *ins,
-                          cache, S, HP, sem, cnt)
+            args = refs[:10]
+            if spherical:
+                cache, S, HP, sem, cnt = refs[10:]
+            else:
+                cache, S, sem, cnt = refs[10:]
+                HP = None
+            albedo = None
+        _mesh_kernel_body(spherical, origin_lod, ellipsoidal, *args,
+                          cache, S, HP, sem, cnt, albedo=albedo, u_max=u_max,
+                          ablate=ablate)
 
     return kernel
 
 
 def _mesh_kernel_body(spherical, origin_lod, ellipsoidal, uq_ref, slots_ref,
                       rlo_ref, rhi_ref, nuq_ref, fs_ref, hp_ref, gr8_ref,
-                      hbm_ref, out_ref, cache, S, HP, sem, cnt):
+                      hbm_ref, out_ref, cache, S, HP, sem, cnt, albedo=None,
+                      u_max=U_MAX, ablate=frozenset()):
     s = pl.program_id(0)
     T = TILES_PER_STEP
 
@@ -397,11 +423,33 @@ def _mesh_kernel_body(spherical, origin_lod, ellipsoidal, uq_ref, slots_ref,
 
     def transfer(r):
         return pltpu.make_async_copy(
-            hbm_ref.at[uq_ref[r]], cache.at[r % U_MAX], sem
+            hbm_ref.at[uq_ref[r]], cache.at[r % u_max], sem
         )
 
+    if albedo is not None:
+        _, _, ahbm_ref, acache, _, asem = albedo
+
+        def atransfer(r):
+            return pltpu.make_async_copy(
+                ahbm_ref.at[uq_ref[r]], acache.at[r % u_max], asem
+            )
+
+        def start_rank(r):
+            transfer(r).start()
+            atransfer(r).start()
+
+        def wait_rank(r):
+            transfer(r).wait()
+            atransfer(r).wait()
+    else:
+        def start_rank(r):
+            transfer(r).start()
+
+        def wait_rank(r):
+            transfer(r).wait()
+
     def wait_range(lo, hi):
-        jax.lax.fori_loop(lo, hi, lambda r, c: (transfer(r).wait(), c)[1], 0)
+        jax.lax.fori_loop(lo, hi, lambda r, c: (wait_rank(r), c)[1], 0)
 
     @pl.when(s > 0)
     def _():
@@ -410,10 +458,10 @@ def _mesh_kernel_body(spherical, origin_lod, ellipsoidal, uq_ref, slots_ref,
 
     issued = cnt[0]
     allowed = jnp.minimum(
-        jnp.minimum(rlo_ref[s] + U_MAX, rhi_ref[s] + LOOKAHEAD), nuq_ref[0]
+        jnp.minimum(rlo_ref[s] + u_max, rhi_ref[s] + LOOKAHEAD), nuq_ref[0]
     )
     allowed = jnp.maximum(allowed, issued)
-    jax.lax.fori_loop(issued, allowed, lambda r, c: (transfer(r).start(), c)[1], 0)
+    jax.lax.fori_loop(issued, allowed, lambda r, c: (start_rank(r), c)[1], 0)
     cnt[0] = allowed
 
     @pl.when(s == 0)
@@ -440,12 +488,13 @@ def _mesh_kernel_body(spherical, origin_lod, ellipsoidal, uq_ref, slots_ref,
         _mesh_step_compute(spherical, origin_lod, ellipsoidal, s, uq_ref,
                            slots_ref, rlo_ref, rhi_ref, nuq_ref, fs_ref,
                            hp_ref, gr8_ref, hbm_ref, out_ref, cache, S, HP,
-                           sem, cnt)
+                           sem, cnt, albedo=albedo, u_max=u_max, ablate=ablate)
 
 
 def _mesh_step_compute(spherical, origin_lod, ellipsoidal, s, uq_ref,
                        slots_ref, rlo_ref, rhi_ref, nuq_ref, fs_ref, hp_ref,
-                       gr8_ref, hbm_ref, out_ref, cache, S, HP, sem, cnt):
+                       gr8_ref, hbm_ref, out_ref, cache, S, HP, sem, cnt,
+                       albedo=None, u_max=U_MAX, ablate=frozenset()):
     T = TILES_PER_STEP
 
     # ---- per-tile parameters expanded on the MXU ----
@@ -494,9 +543,19 @@ def _mesh_step_compute(spherical, origin_lod, ellipsoidal, s, uq_ref,
     wy_all = tents[0:K]
     wx_all = tents[K:NT]
 
+    if albedo is not None:
+        alb_c, alb_bits, _, acache, SA, _ = albedo
+        alb_mask = jnp.int32((1 << alb_bits) - 1)
+        # row index within the (1 + C) * K concatenated product block —
+        # selects each product's mean for the single +c pass
+        cat_rowi = jax.lax.broadcasted_iota(
+            jnp.int32, ((1 + alb_c) * K, 3 * GV), 0) // K
+
     for t in range(T):
+        if "no_phase_a" in ablate:
+            break
         slot = slots_ref[s * T + t]
-        q = cache[slot % U_MAX].astype(jnp.float32)  # (32, 128)
+        q = cache[slot % u_max].astype(jnp.float32)  # (32, 128)
         c = jnp.mean(q)
         qc = q - c
         wy = wy_all[:, t * P:(t + 1) * P]
@@ -508,11 +567,57 @@ def _mesh_step_compute(spherical, origin_lod, ellipsoidal, s, uq_ref,
                        preferred_element_type=jnp.float32) + jnp.dot(
             wy[:, 32:64], qc[:, 64:128], preferred_element_type=jnp.float32
         )  # (33, 64)
-        half3 = jnp.dot(rows, wx.T, preferred_element_type=jnp.float32)  # (33, 51)
         base = t * GV
-        S[0, :, base:base + GV] = half3[:, 0:GV] + c
-        S[1, :, base:base + GV] = half3[:, GV:2 * GV] + c
-        S[2, :, base:base + GV] = half3[:, 2 * GV:3 * GV] + c
+        if albedo is None:
+            half3 = jnp.dot(rows, wx.T, preferred_element_type=jnp.float32)  # (33, 51)
+            S[0, :, base:base + GV] = half3[:, 0:GV] + c
+            S[1, :, base:base + GV] = half3[:, GV:2 * GV] + c
+            S[2, :, base:base + GV] = half3[:, 2 * GV:3 * GV] + c
+        else:
+            # packed attachment channels resampled with the SAME tents
+            # (same plan/geometry as heights; attachments.wgsl:12-43).
+            # ALL products (height + C channels) row-concatenate so the
+            # x-tent resample is ONE ((1+C)*33, 64) @ (64, 51) dot and
+            # each window slab is ONE tall store — the measured walls
+            # were the per-product small dots and the 3-per-product
+            # sub-lane stores (tools/material_kernel_ablation.py:
+            # stores ~400 us, per-product resample ~270 us at 2582
+            # tiles), not the window interp (~7 us).
+            qa_raw = acache[slot % u_max]
+            rows_cat = [rows]
+            means = [c]
+            for ch in range(alb_c):
+                if "alb_no_unpack" in ablate:
+                    qa = qa_raw.astype(jnp.float32)
+                else:
+                    qa = (jax.lax.shift_right_logical(
+                        qa_raw, jnp.int32(alb_bits * ch)) & alb_mask
+                    ).astype(jnp.float32)
+                ca = jnp.mean(qa)
+                qac = qa - ca
+                rows_cat.append(jnp.dot(
+                    wy[:, 0:32], qac[:, 0:64],
+                    preferred_element_type=jnp.float32) + jnp.dot(
+                    wy[:, 32:64], qac[:, 64:128],
+                    preferred_element_type=jnp.float32
+                ))
+                means.append(ca)
+            cat = jnp.concatenate(rows_cat, axis=0)  # ((1+C)*33, 64)
+            if "alb_no_dots" in ablate:
+                half3cat = cat[:, 0:3 * GV]
+            else:
+                half3cat = jnp.dot(cat, wx.T,
+                                   preferred_element_type=jnp.float32)
+            mean_cat = means[alb_c]  # block C = last channel
+            for b in range(alb_c - 1, -1, -1):  # blocks C-1..0 (0 = height)
+                mean_cat = jnp.where(cat_rowi == b, means[b], mean_cat)
+            half3cat = half3cat + mean_cat
+            if "alb_no_store" in ablate:
+                SA[0, 0:K, 0:3 * GV] = half3cat[0:K]
+            else:
+                SA[0, :, base:base + GV] = half3cat[:, 0:GV]
+                SA[1, :, base:base + GV] = half3cat[:, GV:2 * GV]
+                SA[2, :, base:base + GV] = half3cat[:, 2 * GV:3 * GV]
 
     # ---- phase B: batched per-vertex stage on (GV, LANES) shapes ----
     E = GV  # even block size in the evens-first y order
@@ -542,7 +647,14 @@ def _mesh_step_compute(spherical, origin_lod, ellipsoidal, s, uq_ref,
 
     # --- smoothed slabs (the coarser data lod): value-space 1-2-1 with
     # duplicated boundaries, on the (a, evens-first-y) structure ---
-    s0, s1, s2 = S[0], S[1], S[2]
+    if albedo is not None:
+        # heights live in rows 0..K of the concatenated product slabs
+        SA_ref = albedo[4]
+        s0 = SA_ref[0, 0:K]
+        s1 = SA_ref[1, 0:K]
+        s2 = SA_ref[2, 0:K]
+    else:
+        s0, s1, s2 = S[0], S[1], S[2]
 
     jslab = jax.lax.broadcasted_iota(jnp.int32, (K, LANES), 1) % GV
 
@@ -588,9 +700,12 @@ def _mesh_step_compute(spherical, origin_lod, ellipsoidal, s, uq_ref,
         hi = jnp.where(jslab >= GV - 1, x2, nxt)  # pos 32 dups itself
         return 0.5 * x2 + 0.25 * (x1 + hi)
 
-    sm0 = ysmooth(xsmooth(0, s0, s1, s2))
-    sm1 = ysmooth(xsmooth(1, s0, s1, s2))
-    sm2 = ysmooth(xsmooth(2, s0, s1, s2))
+    if "no_smooth" in ablate:
+        sm0, sm1, sm2 = s0, s1, s2
+    else:
+        sm0 = ysmooth(xsmooth(0, s0, s1, s2))
+        sm1 = ysmooth(xsmooth(1, s0, s1, s2))
+        sm2 = ysmooth(xsmooth(2, s0, s1, s2))
 
     # --- per-vertex geometry (vertex.wgsl:30-71, planar) ---
     u = j.astype(jnp.float32) * (1.0 / (GV - 1.0))
@@ -688,20 +803,24 @@ def _mesh_step_compute(spherical, origin_lod, ellipsoidal, s, uq_ref,
         dwz = wz0 + fs[29] * nz0 - fs[41]
         d2_w0 = dwx * dwx + dwy * dwy + dwz * dwz
 
-        @pl.when(hp_on)
-        def _():
-            rx0, ry0, rz0 = taylor_rel(u, v)
-            dhx = rx0 + fs[29] * nx0
-            dhy = ry0 + fs[29] * ny0
-            dhz = rz0 + fs[29] * nz0
-            HP[0] = dhx * dhx + dhy * dhy + dhz * dhz  # squared
+        if "no_taylor" not in ablate:
+            @pl.when(hp_on)
+            def _():
+                rx0, ry0, rz0 = taylor_rel(u, v)
+                dhx = rx0 + fs[29] * nx0
+                dhy = ry0 + fs[29] * ny0
+                dhz = rz0 + fs[29] * nz0
+                HP[0] = dhx * dhx + dhy * dhy + dhz * dhz  # squared
 
-        # hp_on gates the scratch read: a step whose flag is 0 is
-        # conservatively guaranteed (plan-side closest-point bound) to
-        # have no lane inside the precision threshold, so the where
-        # never selects the (possibly stale) scratch row
-        near = jnp.logical_and(d2_w0 < fs[45], hp_on)
-        d2 = jnp.where(near, HP[0], d2_w0)
+            # hp_on gates the scratch read: a step whose flag is 0 is
+            # conservatively guaranteed (plan-side closest-point bound) to
+            # have no lane inside the precision threshold, so the where
+            # never selects the (possibly stale) scratch row
+            near = jnp.logical_and(d2_w0 < fs[45], hp_on)
+            d2 = jnp.where(near, HP[0], d2_w0)
+        else:
+            near = jnp.zeros_like(d2_w0, jnp.bool_)
+            d2 = d2_w0
     else:
         lx = (xf + u) * inv_count - 0.5
         lz = (yf + v) * inv_count - 0.5
@@ -723,20 +842,22 @@ def _mesh_step_compute(spherical, origin_lod, ellipsoidal, s, uq_ref,
     mv = v + (even_v - v) * mr
 
     # --- window interpolation at the morphed uv (3x3 tents) ---
+    # weights depend only on the morphed uv — ONE build shared by the
+    # fine/smooth height slabs AND (when fused) every albedo channel
     lxw = mu * (2.0 * (GV - 1.0)) - jnp.maximum(2 * j - 2, 0).astype(jnp.float32)
     lyw = mv * (2.0 * (GV - 1.0)) - jnp.maximum(2 * sub - 2, 0).astype(jnp.float32)
+    wyb3 = [jnp.maximum(0.0, 1.0 - jnp.abs(lyw - b)) for b in range(3)]
+    wxa3 = [jnp.maximum(0.0, 1.0 - jnp.abs(lxw - a)) for a in range(3)]
 
     def interp9(sa0, sa1, sa2):
         h = jnp.zeros((GV, LANES), jnp.float32)
         for b in range(3):
-            wyb = jnp.maximum(0.0, 1.0 - jnp.abs(lyw - b))
             for a, slab in ((0, sa0), (1, sa1), (2, sa2)):
-                wxa = jnp.maximum(0.0, 1.0 - jnp.abs(lxw - a))
-                h = h + wyb * wxa * ysel(slab, b)
+                h = h + wyb3[b] * wxa3[a] * ysel(slab, b)
         return h
 
     h_fine = interp9(s0, s1, s2)
-    h_smooth = interp9(sm0, sm1, sm2)
+    h_smooth = h_fine if "no_smooth" in ablate else interp9(sm0, sm1, sm2)
 
     # --- per-vertex blend crossfade (fragment.wgsl:51-62 semantics) ---
     btarget = jnp.minimum(fs[44] - log2_dist, fs[26])
@@ -749,7 +870,14 @@ def _mesh_step_compute(spherical, origin_lod, ellipsoidal, s, uq_ref,
     height = (fs[22] + fs[23] * h_norm) * live
 
     # --- morphed world position + surface offset ---
-    if spherical:
+    if spherical and "reuse_far" in ablate:
+        # ABLATION: position from the unmorphed geometry (wrong where
+        # mr > 0 — for cost attribution only)
+        nx_f, ny_f, nz_f = nx0, ny0, nz0
+        px = wx0 + height * nx_f
+        py = wy0 + height * ny_f
+        pz = wz0 + height * nz_f
+    elif spherical:
         # vertex.wgsl:40-55: world position at the morphed uv; within the
         # precision threshold the Taylor relative position (view + rel)
         # replaces it and the UNMORPHED normal is kept (the staged path's
@@ -757,12 +885,13 @@ def _mesh_step_compute(spherical, origin_lod, ellipsoidal, s, uq_ref,
         # needs no distances, and its Taylor chain runs only on hp steps.
         wxm, wym, wzm, nxm, nym, nzm = far_geom(mu, mv)
 
-        @pl.when(hp_on)
-        def _():
-            rxm_, rym_, rzm_ = taylor_rel(mu, mv)
-            HP[1] = rxm_
-            HP[2] = rym_
-            HP[3] = rzm_
+        if "no_taylor" not in ablate:
+            @pl.when(hp_on)
+            def _():
+                rxm_, rym_, rzm_ = taylor_rel(mu, mv)
+                HP[1] = rxm_
+                HP[2] = rym_
+                HP[3] = rzm_
 
         nx_f = jnp.where(near, nx0, nxm)
         ny_f = jnp.where(near, ny0, nym)
@@ -783,19 +912,38 @@ def _mesh_step_compute(spherical, origin_lod, ellipsoidal, s, uq_ref,
     out_ref[0, 3 * GV:4 * GV] = pz * live
     out_ref[0, 4 * GV:5 * GV] = mu * live
     out_ref[0, 5 * GV:6 * GV] = mv * live
+    base_rows = 6
     if spherical:
         out_ref[0, 6 * GV:7 * GV] = nx_f * live
         out_ref[0, 7 * GV:8 * GV] = ny_f * live
         out_ref[0, 8 * GV:9 * GV] = nz_f * live
+        base_rows = 9
+    if albedo is not None:
+        # fused albedo channels at the same morphed uvs, same window
+        # weights (raw texel values; glue normalizes). Channel ch's
+        # window slabs are rows (1+ch)*K of the concatenated slabs.
+        for ch in range(alb_c):
+            r0 = (1 + ch) * K
+            if "alb_no_interp" in ablate:
+                col = SA[1, r0:r0 + GV]
+            else:
+                col = interp9(SA[0, r0:r0 + K], SA[1, r0:r0 + K],
+                              SA[2, r0:r0 + K])
+            out_ref[0, (base_rows + ch) * GV:(base_rows + ch + 1) * GV] = (
+                col * valid * live
+            )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spherical", "origin_lod", "interpret", "ellipsoidal"),
+    static_argnames=("spherical", "origin_lod", "interpret", "ellipsoidal",
+                     "albedo_channels", "albedo_bits", "ablate"),
 )
 def mesh_fused(block_array, batch, tile_params, fs, hp_steps=None,
                spherical: bool = False, origin_lod: int = 10,
-               interpret: bool = False, ellipsoidal: bool = False):
+               interpret: bool = False, ellipsoidal: bool = False,
+               albedo_blocks=None, albedo_channels: int = 0,
+               albedo_bits: int = 0, ablate: frozenset = frozenset()):
     """Fused frame mesh: fetch + resample + morph + interpolate.
 
     Args:
@@ -841,25 +989,41 @@ def mesh_fused(block_array, batch, tile_params, fs, hp_steps=None,
         jnp.stack(rows).reshape(GR_ROWS, steps, TILES_PER_STEP),
         (1, 0, 2),
     )
-    scratch = [
-        pltpu.VMEM((U_MAX, 32, 128), jnp.int32),
-        pltpu.VMEM((3, K, LANES), jnp.float32),
-    ]
+    # the albedo stream doubles the VMEM cache footprint and adds the
+    # 3*C slab scratch — shrink the ring to fit the 16 MB scoped-vmem
+    # limit (256-slot pairs measured 680 KB over). 128 still covers a
+    # step's 64-rank span with a full step of prefetch lookahead.
+    u_max = 128 if albedo_channels else U_MAX
+    scratch = [pltpu.VMEM((u_max, 32, 128), jnp.int32)]
+    if albedo_channels:
+        scratch.append(pltpu.VMEM((u_max, 32, 128), jnp.int32))
+        # ONE concatenated product slab per window offset: rows 0..K are
+        # the heights, rows (1+ch)*K each channel (replaces the separate
+        # S scratch — see the row-concat resample in _mesh_step_compute)
+        scratch.append(pltpu.VMEM(
+            (3, (1 + albedo_channels) * K, LANES), jnp.float32))
+    else:
+        scratch.append(pltpu.VMEM((3, K, LANES), jnp.float32))
     if spherical:
         scratch.append(pltpu.VMEM((4, GV, LANES), jnp.float32))
-    scratch += [
-        pltpu.SemaphoreType.DMA(()),
-        pltpu.SMEM((2,), jnp.int32),
+    scratch.append(pltpu.SemaphoreType.DMA(()))
+    if albedo_channels:
+        scratch.append(pltpu.SemaphoreType.DMA(()))
+    scratch.append(pltpu.SMEM((2,), jnp.int32))
+    out_rows = (OUT_ROWS_SPH if spherical else OUT_ROWS) + albedo_channels * GV
+    in_specs = [
+        pl.BlockSpec((1, GR_ROWS, TILES_PER_STEP), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
     ]
-    out_rows = OUT_ROWS_SPH if spherical else OUT_ROWS
+    operands = [block_array]
+    if albedo_channels:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        operands.append(albedo_blocks)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(steps,),
-        in_specs=[
-            pl.BlockSpec((1, GR_ROWS, TILES_PER_STEP), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, out_rows, LANES), lambda i, *_: (i, 0, 0),
             memory_space=pltpu.VMEM,
@@ -867,12 +1031,13 @@ def mesh_fused(block_array, batch, tile_params, fs, hp_steps=None,
         scratch_shapes=scratch,
     )
     return pl.pallas_call(
-        _make_mesh_kernel(spherical, origin_lod, ellipsoidal),
+        _make_mesh_kernel(spherical, origin_lod, ellipsoidal,
+                          albedo_channels, albedo_bits, u_max, ablate),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((steps, out_rows, LANES), jnp.float32),
         interpret=interpret,
     )(batch.uq, batch.slots, batch.rank_lo, batch.rank_hi, batch.n_unique, fs,
-      hp_steps, gr8, block_array)
+      hp_steps, gr8, *operands)
 
 
 def _kernel(ids_ref, geom_ref, *refs):
@@ -1025,18 +1190,18 @@ def _make_attach_kernel(channels: int, bits: int):
     DMA-count-bound cost, measured ~600 us/pass at 4096 tiles; packing
     amortizes it C-fold)."""
 
-    def kernel(uq_ref, slots_ref, rlo_ref, rhi_ref, nuq_ref,
+    def kernel(uq_ref, slots_ref, rlo_ref, rhi_ref, nuq_ref, live_ref,
                ga_ref, uv_ref, hbm_ref, out_ref, cache, S, sem, cnt):
         _attach_kernel_body(channels, bits, uq_ref, slots_ref, rlo_ref,
-                            rhi_ref, nuq_ref, ga_ref, uv_ref, hbm_ref,
-                            out_ref, cache, S, sem, cnt)
+                            rhi_ref, nuq_ref, live_ref, ga_ref, uv_ref,
+                            hbm_ref, out_ref, cache, S, sem, cnt)
 
     return kernel
 
 
 def _attach_kernel_body(channels, bits, uq_ref, slots_ref, rlo_ref, rhi_ref,
-                        nuq_ref, ga_ref, uv_ref, hbm_ref, out_ref, cache, S,
-                        sem, cnt):
+                        nuq_ref, live_ref, ga_ref, uv_ref, hbm_ref, out_ref,
+                        cache, S, sem, cnt):
     s = pl.program_id(0)
     T = TILES_PER_STEP
 
@@ -1071,6 +1236,23 @@ def _attach_kernel_body(channels, bits, uq_ref, slots_ref, rlo_ref, rhi_ref,
         wait_range(0, allowed)
         cnt[1] = allowed
 
+    # per-step live gating (same scheme as the mesh kernel): dead-capacity
+    # lanes sort to a contiguous tail, so whole steps past
+    # ceil(tile_count / T) skip ALL compute and just zero their out rows —
+    # the sampler's cost tracks the live tile count, not the capacity
+    @pl.when(live_ref[s] == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    @pl.when(live_ref[s] > 0)
+    def _():
+        _attach_step_compute(channels, bits, s, slots_ref, ga_ref, uv_ref,
+                             out_ref, cache, S)
+
+
+def _attach_step_compute(channels, bits, s, slots_ref, ga_ref, uv_ref,
+                         out_ref, cache, S):
+    T = TILES_PER_STEP
     # per-tile params lane-expanded on the MXU (rows [p0x, p0y, dp, valid])
     PL = T * P
     g4 = ga_ref[0]  # (8, T)
@@ -1153,8 +1335,17 @@ def _attach_kernel_body(channels, bits, uq_ref, slots_ref, rlo_ref, rhi_ref,
         out_ref[0, ch * GV:(ch + 1) * GV] = h * gV[3]
 
 
+def _attach_live_flags(batch, live_steps):
+    """(steps,) int32 live-step flags; None = everything live."""
+    steps = batch.slots.shape[0] // TILES_PER_STEP
+    if live_steps is None:
+        return jnp.ones((steps,), jnp.int32)
+    return live_steps.astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def attach_sample_fused(block_array, batch, uvrows, interpret: bool = False):
+def attach_sample_fused(block_array, batch, uvrows, live_steps=None,
+                        interpret: bool = False):
     """Sample one attachment channel at given morphed uvs, fully fused.
 
     Args:
@@ -1162,6 +1353,8 @@ def attach_sample_fused(block_array, batch, uvrows, interpret: bool = False):
       batch: the frame's PatchBatch (assume_sorted schedule for this plan).
       uvrows: (steps, 2*GV, LANES) f32 — rows 0..16 = u per vertex row,
         rows 17..33 = v, in the mesh kernel's lane layout.
+      live_steps: optional (steps,) flags — 0 skips the step's compute
+        entirely (dead-capacity tail; same gating as mesh_fused).
 
     Returns (steps, GV, LANES) f32 raw texel values (caller normalizes).
     """
@@ -1177,7 +1370,7 @@ def attach_sample_fused(block_array, batch, uvrows, interpret: bool = False):
         (1, 0, 2),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(steps,),
         in_specs=[
             pl.BlockSpec((1, 8, TILES_PER_STEP), lambda i, *_: (i, 0, 0),
@@ -1201,14 +1394,15 @@ def attach_sample_fused(block_array, batch, uvrows, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((steps, GV, LANES), jnp.float32),
         interpret=interpret,
     )(batch.uq, batch.slots, batch.rank_lo, batch.rank_hi, batch.n_unique,
-      ga, uvrows, block_array)
+      _attach_live_flags(batch, live_steps), ga, uvrows, block_array)
 
 
 @functools.partial(
     jax.jit, static_argnames=("channels", "bits", "interpret")
 )
 def attach_sample_fused_packed(block_array, batch, uvrows, channels: int,
-                               bits: int, interpret: bool = False):
+                               bits: int, live_steps=None,
+                               interpret: bool = False):
     """Sample ALL channels of a packed multi-channel attachment at given
     morphed uvs in ONE fused pass.
 
@@ -1237,7 +1431,7 @@ def attach_sample_fused_packed(block_array, batch, uvrows, channels: int,
         (1, 0, 2),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(steps,),
         in_specs=[
             pl.BlockSpec((1, 8, TILES_PER_STEP), lambda i, *_: (i, 0, 0),
@@ -1263,4 +1457,4 @@ def attach_sample_fused_packed(block_array, batch, uvrows, channels: int,
             (steps, channels * GV, LANES), jnp.float32),
         interpret=interpret,
     )(batch.uq, batch.slots, batch.rank_lo, batch.rank_hi, batch.n_unique,
-      ga, uvrows, block_array)
+      _attach_live_flags(batch, live_steps), ga, uvrows, block_array)

@@ -638,6 +638,11 @@ def sample_attachment_vertices(
             return jnp.transpose(x, (0, 2, 1, 3)).reshape(steps, G1, T * G1)
 
         uvrows = jnp.concatenate([rows_of(0), rows_of(1)], axis=1)
+        # same live-step gating as the mesh kernel: the sorted list's
+        # dead-capacity tail occupies whole trailing steps
+        live_steps = (
+            tiles.tile_count > jnp.arange(steps, dtype=jnp.int32) * T
+        ).astype(jnp.int32)
 
         def vals_of(raw_gv):
             return jnp.transpose(
@@ -648,12 +653,14 @@ def sample_attachment_vertices(
             # ONE fused pass for every channel: the quad fetch is the
             # DMA-count-bound cost and happens once for the packed word
             raw = pallas_kernels.attach_sample_fused_packed(
-                block_arrays[0], batch, uvrows, packed_channels, packed_bits)
+                block_arrays[0], batch, uvrows, packed_channels, packed_bits,
+                live_steps=live_steps)
             return jnp.stack(
                 [vals_of(raw[:, c * G1:(c + 1) * G1])
                  for c in range(packed_channels)], axis=-1)
         for block_array in block_arrays:
-            raw = pallas_kernels.attach_sample_fused(block_array, batch, uvrows)
+            raw = pallas_kernels.attach_sample_fused(
+                block_array, batch, uvrows, live_steps=live_steps)
             channels.append(vals_of(raw))
         return jnp.stack(channels, axis=-1)
 

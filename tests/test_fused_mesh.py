@@ -313,6 +313,50 @@ class TestPackedAttachmentSampling:
                 atol=1e-4,
             )
 
+    def test_merged_mesh_albedo_kernel(self, small_frame):
+        """The MERGED kernel (generate_mesh_fused with albedo_channels=4)
+        must reproduce (a) the mesh products of the albedo-free kernel
+        bit-for-bit* and (b) the standalone packed attach sampler's colors
+        at the kernel's own morphed uvs (*interpret mode: exact f32 dots,
+        identical op order)."""
+        model, vc, uniforms, plan, blocks = small_frame
+        cfg = _cfg(vc)
+        rng = np.random.default_rng(21)
+        chans = [
+            rng.integers(0, 256, blocks.shape).astype(np.uint32)
+            for _ in range(4)
+        ]
+        packed_np = chans[0].copy()
+        for c in range(1, 4):
+            packed_np |= chans[c] << (8 * c)
+        packed = jnp.asarray(packed_np.view(np.int32))
+
+        tiles0 = refinement.refine_tiles(uniforms, cfg)
+        raw_m, tiles_m = meshgen.generate_mesh_fused(
+            tiles0, blocks, uniforms, cfg, plan, 65535.0, interpret=True,
+            albedo_blocks=packed, albedo_channels=4, albedo_bits=8,
+        )
+        raw_0, tiles_0 = meshgen.generate_mesh_fused(
+            tiles0, blocks, uniforms, cfg, plan, 65535.0, interpret=True,
+        )
+        n = int(tiles_m.tile_count)
+        assert n > 0 and int(tiles_0.tile_count) == n
+        # (a) mesh rows identical
+        base_rows = raw_0.shape[1]
+        np.testing.assert_array_equal(
+            np.asarray(raw_m[:, :base_rows]), np.asarray(raw_0))
+        mesh_m = meshgen.fused_to_grid(raw_m, tiles_m, cfg)
+        # (b) colors match the standalone packed sampler at the SAME uvs
+        got = np.asarray(
+            meshgen.fused_albedo_to_grid(raw_m, cfg, 4, 255.0))
+        want = np.asarray(patch_sampling.sample_attachment_vertices(
+            [packed], tiles_m, mesh_m.uvs, uniforms, cfg, plan, 255.0,
+            packed_channels=4, packed_bits=8,
+        ))
+        # CPU routes sample_attachment_vertices through the XLA fallback
+        # (different op order than the kernel's exact interpret dots)
+        np.testing.assert_allclose(got[:n], want[:n], atol=2e-3)
+
     def test_rg16_packed_matches_per_channel(self, small_frame):
         """2 x u16 packing (Rg16): 16-bit shift/mask unpack path, packed
         fused kernel vs two per-channel passes."""

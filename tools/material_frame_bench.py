@@ -132,12 +132,40 @@ def main() -> None:
         )
         return tiles.tile_count, colors
 
+    def merged(block_array, ap, u):
+        # mesh + packed RGBA in ONE kernel (shared DMA schedule, tents,
+        # window weights), then PBR shade
+        tiles = refinement.refine_tiles(u, cfg)
+        raw, tiles = meshgen.generate_mesh_fused(
+            tiles, block_array, u, cfg, plan, 65535.0,
+            albedo_blocks=ap, albedo_channels=4, albedo_bits=8,
+        )
+        mesh = meshgen.fused_to_grid(raw, tiles, cfg, u)
+        rgba = meshgen.fused_albedo_to_grid(raw, cfg, 4, 255.0)
+        return tiles.tile_count, rgba, mesh
+
+    def merged_full(block_array, ap, u):
+        tiles = refinement.refine_tiles(u, cfg)
+        raw, tiles = meshgen.generate_mesh_fused(
+            tiles, block_array, u, cfg, plan, 65535.0,
+            albedo_blocks=ap, albedo_channels=4, albedo_bits=8,
+        )
+        mesh = meshgen.fused_to_grid(raw, tiles, cfg, u)
+        rgba = meshgen.fused_albedo_to_grid(raw, cfg, 4, 255.0)
+        colors = shade(
+            mesh, tiles, u, cfg, material=material, lighting=True,
+            attachment_samples={1: rgba},
+        )
+        return tiles.tile_count, colors
+
     jmesh = jax.jit(mesh_only, in_shardings=(fmt, None))
     jgrid = jax.jit(mesh_grid, in_shardings=(fmt, None))
     jrgba = jax.jit(mesh_rgba, in_shardings=(fmt, (fmt,) * 4, None))
     jpack = jax.jit(mesh_rgba_packed, in_shardings=(fmt, fmt, None))
     jgrad = jax.jit(mesh_rgba_grad, in_shardings=(fmt, (fmt,) * 4, None))
     jfull = jax.jit(full, in_shardings=(fmt, fmt, None))
+    jmerged = jax.jit(merged, in_shardings=(fmt, fmt, None))
+    jmfull = jax.jit(merged_full, in_shardings=(fmt, fmt, None))
     (c0, _), (c1, colors) = (
         jax.block_until_ready(jmesh(blocks, u1)),
         jax.block_until_ready(jfull(blocks, albedo_packed, u1)),
@@ -149,13 +177,23 @@ def main() -> None:
     rp = jax.block_until_ready(jpack(blocks, albedo_packed, u1))[1]
     rq = jax.block_until_ready(jrgba(blocks, albedo_blocks, u1))[1]
     perr = float(jnp.max(jnp.abs(rp - rq)))
-    assert int(c0) == int(c1)
+    # merged-kernel parity: its fused colors vs the standalone packed
+    # sampler at the same morphed uvs, live tiles only
+    cm, rm, _ = jax.block_until_ready(jmerged(blocks, albedo_packed, u1))
+    nlive = int(cm)
+    merr = float(jnp.max(jnp.abs(rm[:nlive] - rp[:nlive])))
+    jax.block_until_ready(jmfull(blocks, albedo_packed, u1))
+    assert int(c0) == int(c1) == nlive
     t_mesh = device_time_ms(jmesh, blocks, u1, label="mat_mesh")
     t_grid = device_time_ms(jgrid, blocks, u1, label="mat_grid")
     t_rgba = device_time_ms(jrgba, blocks, albedo_blocks, u1, label="mat_rgba")
     t_pack = device_time_ms(jpack, blocks, albedo_packed, u1, label="mat_pack")
     t_grad = device_time_ms(jgrad, blocks, albedo_blocks, u1, label="mat_grad")
     t_full = device_time_ms(jfull, blocks, albedo_packed, u1, label="mat_full")
+    t_merged = device_time_ms(jmerged, blocks, albedo_packed, u1,
+                              label="mat_merged")
+    t_mfull = device_time_ms(jmfull, blocks, albedo_packed, u1,
+                             label="mat_merged_full")
     print(
         f"mesh-only frame:        {t_mesh * 1e3:7.1f} us ({int(c0)} tiles)\n"
         f"+ fused_to_grid:        {t_grid * 1e3:7.1f} us "
@@ -168,7 +206,10 @@ def main() -> None:
         f"  [RGBA x4 grad-4-tap:  {t_grad * 1e3:7.1f} us "
         f"(+{(t_grad - t_grid) * 1e3:.1f} vs mesh; SAMPLE_GRAD option)]\n"
         f"+ PBR shade = full:     {t_full * 1e3:7.1f} us "
-        f"(+{(t_full - t_pack) * 1e3:.1f}) "
+        f"(+{(t_full - t_pack) * 1e3:.1f})\n"
+        f"MERGED mesh+RGBA:       {t_merged * 1e3:7.1f} us "
+        f"(one kernel; parity vs packed {merr:.2e})\n"
+        f"MERGED + PBR = full:    {t_mfull * 1e3:7.1f} us "
         f"(target <= 1500 us at capacity {cfg.tile_capacity})"
     )
 
