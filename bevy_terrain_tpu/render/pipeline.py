@@ -38,19 +38,41 @@ from bevy_terrain_tpu.terrain_data.tile_atlas import TileAtlas
 from bevy_terrain_tpu.terrain_data.tile_tree import TileTree
 
 
-@dataclasses.dataclass
 class TerrainFrameOutput:
     """One view's frame products: the compacted tile list + vertex buffers.
 
     ``tiles``/``mesh`` live on device; pull with numpy() only when needed.
+
+    On the fused TPU path without shading, the frame step emits the
+    kernel's native ``raw_mesh`` layout ((steps, rows, 64*17) f32 — see
+    pallas_kernels.mesh_fused) and the ``mesh`` grid view is extracted
+    LAZILY on first access: the nine (F, 17, 17) grid arrays pad ~7.5x in
+    HBM (minor dim 17), and a consumer that reads only the tile list or
+    the raw buffer should not pay that per frame (measured ~0.38 ms/frame
+    on the Earth scene). Everything that needs grids in-jit (shading,
+    debug views, attachment sampling) still extracts inside the step.
     """
 
-    tiles: refinement.RefinementOutput
-    # GridMeshOutput on the fast path (per-tile vertex grids), MeshOutput
-    # (strip layout) on the exact fallback
-    mesh: "meshgen.GridMeshOutput | meshgen.MeshOutput"
-    # per-vertex RGBA when shading is enabled (set_shading), grid path only
-    colors: "jax.Array | None" = None
+    def __init__(self, tiles, mesh=None, colors=None, raw=None, cfg=None):
+        self.tiles = tiles
+        self.colors = colors
+        self._mesh = mesh
+        self._raw = raw
+        self._cfg = cfg
+
+    @property
+    def raw_mesh(self):
+        """The fused kernel's flat product tensor (None on non-fused
+        paths): rows pack [height, pos xyz, morphed uv(, normal xyz)
+        (, albedo channels)] x 17 vertex rows; lane = tile_in_step * 17
+        + vertex column."""
+        return self._raw
+
+    @property
+    def mesh(self) -> "meshgen.GridMeshOutput | meshgen.MeshOutput":
+        if self._mesh is None:
+            self._mesh = _extract_grid(self._raw, self.tiles, self._cfg)
+        return self._mesh
 
     @property
     def tile_count(self) -> int:
@@ -63,6 +85,12 @@ class TerrainFrameOutput:
         ``queue_capacity`` (the reference's 1M cap never truncates in
         practice, terrain_view.rs:23-25)."""
         return int(self.tiles.overflow)
+
+
+@partial(jax.jit, static_argnames="cfg")
+def _extract_grid(raw, tiles, cfg):
+    """One-dispatch lazy grid extraction (fused_to_grid under jit)."""
+    return meshgen.fused_to_grid(raw, tiles, cfg)
 
 
 class Terrain:
@@ -416,6 +444,11 @@ class Terrain:
             raw, tiles = meshgen.generate_mesh_fused(
                 tiles, block_array, uniforms, cfg, plan, max_value
             )
+            if shade_opts is None:
+                # no in-jit consumer of the grid layout: emit the kernel's
+                # raw tensor and let TerrainFrameOutput extract lazily
+                # (saves the ~7.5x-padded (F, 17, 17) materializations)
+                return tiles, raw, None
             mesh = meshgen.fused_to_grid(raw, tiles, cfg, uniforms)
         else:
             mesh, tiles = meshgen.generate_mesh_grid(
@@ -470,6 +503,8 @@ class Terrain:
             raw, tiles = meshgen.generate_mesh_fused(
                 tiles, block_array, uniforms, cfg, plan, max_value
             )
+            if shade_opts is None:
+                return tiles, raw, None
             mesh = meshgen.fused_to_grid(raw, tiles, cfg, uniforms)
         else:
             mesh, tiles = meshgen.generate_mesh_grid(
@@ -624,7 +659,14 @@ class Terrain:
                 count = tiles.tile_count
                 count.copy_to_host_async()
                 ad["pending"] = count
-            outputs[view_id] = TerrainFrameOutput(tiles=tiles, mesh=mesh, colors=colors)
+            if isinstance(mesh, jax.Array):
+                # fused step emitted the kernel's raw tensor (shading off):
+                # the grid view extracts lazily on first .mesh access
+                outputs[view_id] = TerrainFrameOutput(
+                    tiles=tiles, colors=colors, raw=mesh, cfg=cfg_s)
+            else:
+                outputs[view_id] = TerrainFrameOutput(
+                    tiles=tiles, mesh=mesh, colors=colors)
             self._last_uniforms[view_id] = uniforms
         self.frame_index += 1
         return outputs
