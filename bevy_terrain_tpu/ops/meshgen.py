@@ -241,6 +241,7 @@ def generate_mesh_fused(
     albedo_channels: int = 0,
     albedo_bits: int = 0,
     ablate: frozenset = frozenset(),
+    shade_spec=None,
 ):
     """Single fused Pallas kernel for the whole planar mesh stage.
 
@@ -355,7 +356,7 @@ def generate_mesh_fused(
         spherical=cfg.spherical, origin_lod=cfg.origin_lod,
         interpret=interpret, ellipsoidal=cfg.ellipsoidal,
         albedo_blocks=albedo_blocks, albedo_channels=albedo_channels,
-        albedo_bits=albedo_bits, ablate=ablate,
+        albedo_bits=albedo_bits, ablate=ablate, shade=shade_spec,
     )
     return raw, tiles
 

@@ -348,7 +348,9 @@ def pack_mesh_scalars(uniforms, cfg, max_value: float) -> jnp.ndarray:
         jnp.log2(uniforms.blend_distance)[None],
         (uniforms.precision_threshold_distance
          * uniforms.precision_threshold_distance)[None],
-        jnp.zeros((2,), jnp.float32),
+        # 46: terrain scale (in-kernel shade's normal spacing)
+        jnp.asarray(uniforms.terrain_scale)[None],
+        jnp.zeros((1,), jnp.float32),
     ]).astype(jnp.float32)
 
 
@@ -369,9 +371,136 @@ GR_ROWS = 48
 C_SQR_F = 0.87 * 0.87  # cube-sphere warp constant (math/coordinate.py)
 
 
+def _kernel_pbr_shade(shade, cols, height, px, py, pz, fs, gV, lane_shift,
+                      j, sub):
+    """The fragment stage (render/material.py::shade with a planar
+    StandardMaterial + albedo base color) evaluated INSIDE the kernel on
+    the (GV, LANES) registers: central-difference normals
+    (attachments.wgsl:51-107, planar TBN), then bevy_pbr's Filament
+    direct lighting (pbr_lighting.wgsl) for the static light list.
+
+    ``shade`` = (perceptual_roughness, metallic, reflectance, emissive3,
+    ambient3, lights, alb_max) — all Python statics, baked as constants.
+    Returns [r, g, b, a] (GV, LANES) linear [0, 1] rows.
+    """
+    import numpy as _np
+
+    pr_f, metallic, reflectance, emissive, ambient, lights, alb_max = shade
+    inv_max = 1.0 / alb_max
+
+    # --- normals from the blended world-unit heights (planar TBN) ---
+    lodf = gV[4]
+    spacing = (2.0 * fs[46]) * jnp.exp2(-lodf) * (1.0 / (GV - 1.0))
+
+    def vshift(x, d):
+        # lane neighbour within each tile's 17-lane block, clamped at
+        # block edges (the (GV, LANES) twin of phase B's lane_shift)
+        rolled = pltpu.roll(x, (-d) % LANES, 1)
+        ok = (j + d >= 0) & (j + d <= GV - 1)
+        return jnp.where(ok, rolled, x)
+
+    hi_u = vshift(height, 1)
+    lo_u = vshift(height, -1)
+    dh_du = (hi_u - lo_u) / (2.0 * spacing)
+    hi_v = jnp.concatenate(
+        [jax.lax.slice_in_dim(height, 1, GV, axis=0),
+         jax.lax.slice_in_dim(height, GV - 1, GV, axis=0)], axis=0)
+    lo_v = jnp.concatenate(
+        [jax.lax.slice_in_dim(height, 0, 1, axis=0),
+         jax.lax.slice_in_dim(height, 0, GV - 1, axis=0)], axis=0)
+    dh_dv = (hi_v - lo_v) / (2.0 * spacing)
+    ninv = 1.0 / jnp.maximum(
+        jnp.sqrt(dh_du * dh_du + 1.0 + dh_dv * dh_dv), 1e-8)
+    nx, ny, nz = -dh_du * ninv, ninv, -dh_dv * ninv
+
+    base = [cols[c] * inv_max for c in range(3)]
+    alpha = cols[3] * inv_max
+    dc = [b * (1.0 - metallic) for b in base]
+    f0 = [0.16 * reflectance * reflectance * (1.0 - metallic) + b * metallic
+          for b in base]
+    pr = float(_np.clip(pr_f, 0.089, 1.0))
+    rough = pr * pr
+    a2 = rough * rough
+
+    vx, vy, vz = fs[39] - px, fs[40] - py, fs[41] - pz
+    vinv = 1.0 / jnp.maximum(jnp.sqrt(vx * vx + vy * vy + vz * vz), 1e-8)
+    vx, vy, vz = vx * vinv, vy * vinv, vz * vinv
+    nov = jnp.maximum(nx * vx + ny * vy + nz * vz, 1e-4)
+
+    out = [jnp.full_like(base[0], float(emissive[c])) for c in range(3)]
+    for light in lights:
+        kind = light[0]
+        if kind == "dir":
+            _, d3, c3, illum = light
+            d = _np.asarray(d3, _np.float32)
+            l3 = -d / _np.linalg.norm(d)
+            lc = _np.asarray(c3, _np.float32) * _np.float32(illum)
+            lx = jnp.full_like(base[0], float(l3[0]))
+            ly = jnp.full_like(base[0], float(l3[1]))
+            lz = jnp.full_like(base[0], float(l3[2]))
+            rad = [float(lc[c]) for c in range(3)]
+            rad_arr = None
+        else:
+            if kind == "spot":
+                _, p3, d3, c3, inten, rng, inner, outer = light
+            else:
+                _, p3, c3, inten, rng = light
+            tx = float(p3[0]) - px
+            ty = float(p3[1]) - py
+            tz = float(p3[2]) - pz
+            d2l = jnp.maximum(tx * tx + ty * ty + tz * tz, 1e-4)
+            dinv = 1.0 / jnp.sqrt(d2l)
+            lx, ly, lz = tx * dinv, ty * dinv, tz * dinv
+            inv_r2 = float(1.0 / (rng * rng))
+            window = jnp.clip(1.0 - jnp.square(d2l * inv_r2), 0.0, 1.0)
+            atten = jnp.square(window) / d2l
+            if kind == "spot":
+                sd = _np.asarray(d3, _np.float32)
+                sd = sd / _np.linalg.norm(sd)
+                cos_outer = float(_np.cos(outer))
+                scale = float(1.0 / max(_np.cos(inner) - _np.cos(outer), 1e-4))
+                cos_a = -(lx * float(sd[0]) + ly * float(sd[1])
+                          + lz * float(sd[2]))
+                atten = atten * jnp.square(
+                    jnp.clip((cos_a - cos_outer) * scale, 0.0, 1.0))
+            lc = _np.asarray(c3, _np.float32) * _np.float32(inten)
+            rad = [float(lc[c]) for c in range(3)]
+            rad_arr = atten
+
+        hx, hy, hz = lx + vx, ly + vy, lz + vz
+        hinv = 1.0 / jnp.maximum(jnp.sqrt(hx * hx + hy * hy + hz * hz), 1e-8)
+        hx, hy, hz = hx * hinv, hy * hinv, hz * hinv
+        nol = jnp.clip(nx * lx + ny * ly + nz * lz, 0.0, 1.0)
+        noh = jnp.clip(nx * hx + ny * hy + nz * hz, 0.0, 1.0)
+        loh = jnp.clip(hx * lx + hy * ly + hz * lz, 0.0, 1.0)
+        f = noh * noh * (a2 - 1.0) + 1.0
+        d_ggx = a2 / jnp.maximum(_np.float32(_np.pi) * f * f, 1e-8)
+        lambda_v = nol * jnp.sqrt((nov - a2 * nov) * nov + a2)
+        lambda_l = nov * jnp.sqrt((nol - a2 * nol) * nol + a2)
+        v_smith = 0.5 / jnp.maximum(lambda_v + lambda_l, 1e-8)
+        f90 = jnp.clip((f0[0] + f0[1] + f0[2]) * _np.float32(50.0 * 0.33),
+                       0.0, 1.0)
+        om = jnp.power(1.0 - loh, 5.0)
+        fd90 = 0.5 + 2.0 * rough * loh * loh
+        light_scatter = 1.0 + (fd90 - 1.0) * jnp.power(1.0 - nol, 5.0)
+        view_scatter = 1.0 + (fd90 - 1.0) * jnp.power(1.0 - nov, 5.0)
+        fd = light_scatter * view_scatter * _np.float32(1.0 / _np.pi)
+        for c in range(3):
+            fresnel = f0[c] + (f90 - f0[c]) * om
+            spec = d_ggx * v_smith * fresnel
+            contrib = (dc[c] * fd + spec) * rad[c] * nol
+            if rad_arr is not None:
+                contrib = contrib * rad_arr
+            out[c] = out[c] + contrib
+    for c in range(3):
+        out[c] = out[c] + dc[c] * float(ambient[c])
+    return [out[0], out[1], out[2], alpha]
+
+
 def _make_mesh_kernel(spherical: bool, origin_lod: int, ellipsoidal: bool,
                       alb_channels: int = 0, alb_bits: int = 0,
-                      u_max: int = U_MAX, ablate: frozenset = frozenset()):
+                      u_max: int = U_MAX, ablate: frozenset = frozenset(),
+                      shade=None):
     """``alb_channels > 0`` fuses a packed multi-channel attachment fetch
     into the mesh kernel (the full material frame in ONE pass): a second
     quad stream rides the SAME schedule, and the albedo resample reuses
@@ -386,11 +515,10 @@ def _make_mesh_kernel(spherical: bool, origin_lod: int, ellipsoidal: bool,
         if alb_channels:
             ins = refs[:11]  # 7 prefetched + gr8 + hbm + albedo hbm + out
             if spherical:
-                cache, acache, SA, HP, sem, asem, cnt = refs[11:]
+                cache, acache, S, SA, HP, sem, asem, cnt = refs[11:]
             else:
-                cache, acache, SA, sem, asem, cnt = refs[11:]
+                cache, acache, S, SA, sem, asem, cnt = refs[11:]
                 HP = None
-            S = None  # heights share the concatenated SA slabs
             albedo = (alb_channels, alb_bits, ins[9], acache, SA, asem)
             args = ins[:9] + (ins[10],)
         else:
@@ -403,7 +531,7 @@ def _make_mesh_kernel(spherical: bool, origin_lod: int, ellipsoidal: bool,
             albedo = None
         _mesh_kernel_body(spherical, origin_lod, ellipsoidal, *args,
                           cache, S, HP, sem, cnt, albedo=albedo, u_max=u_max,
-                          ablate=ablate)
+                          ablate=ablate, shade=shade)
 
     return kernel
 
@@ -411,7 +539,7 @@ def _make_mesh_kernel(spherical: bool, origin_lod: int, ellipsoidal: bool,
 def _mesh_kernel_body(spherical, origin_lod, ellipsoidal, uq_ref, slots_ref,
                       rlo_ref, rhi_ref, nuq_ref, fs_ref, hp_ref, gr8_ref,
                       hbm_ref, out_ref, cache, S, HP, sem, cnt, albedo=None,
-                      u_max=U_MAX, ablate=frozenset()):
+                      u_max=U_MAX, ablate=frozenset(), shade=None):
     s = pl.program_id(0)
     T = TILES_PER_STEP
 
@@ -488,13 +616,15 @@ def _mesh_kernel_body(spherical, origin_lod, ellipsoidal, uq_ref, slots_ref,
         _mesh_step_compute(spherical, origin_lod, ellipsoidal, s, uq_ref,
                            slots_ref, rlo_ref, rhi_ref, nuq_ref, fs_ref,
                            hp_ref, gr8_ref, hbm_ref, out_ref, cache, S, HP,
-                           sem, cnt, albedo=albedo, u_max=u_max, ablate=ablate)
+                           sem, cnt, albedo=albedo, u_max=u_max, ablate=ablate,
+                           shade=shade)
 
 
 def _mesh_step_compute(spherical, origin_lod, ellipsoidal, s, uq_ref,
                        slots_ref, rlo_ref, rhi_ref, nuq_ref, fs_ref, hp_ref,
                        gr8_ref, hbm_ref, out_ref, cache, S, HP, sem, cnt,
-                       albedo=None, u_max=U_MAX, ablate=frozenset()):
+                       albedo=None, u_max=U_MAX, ablate=frozenset(),
+                       shade=None):
     T = TILES_PER_STEP
 
     # ---- per-tile parameters expanded on the MXU ----
@@ -546,10 +676,6 @@ def _mesh_step_compute(spherical, origin_lod, ellipsoidal, s, uq_ref,
     if albedo is not None:
         alb_c, alb_bits, _, acache, SA, _ = albedo
         alb_mask = jnp.int32((1 << alb_bits) - 1)
-        # row index within the (1 + C) * K concatenated product block —
-        # selects each product's mean for the single +c pass
-        cat_rowi = jax.lax.broadcasted_iota(
-            jnp.int32, ((1 + alb_c) * K, 3 * GV), 0) // K
 
     for t in range(T):
         if "no_phase_a" in ablate:
@@ -567,25 +693,22 @@ def _mesh_step_compute(spherical, origin_lod, ellipsoidal, s, uq_ref,
                        preferred_element_type=jnp.float32) + jnp.dot(
             wy[:, 32:64], qc[:, 64:128], preferred_element_type=jnp.float32
         )  # (33, 64)
+        half3 = jnp.dot(rows, wx.T, preferred_element_type=jnp.float32)  # (33, 51)
         base = t * GV
-        if albedo is None:
-            half3 = jnp.dot(rows, wx.T, preferred_element_type=jnp.float32)  # (33, 51)
-            S[0, :, base:base + GV] = half3[:, 0:GV] + c
-            S[1, :, base:base + GV] = half3[:, GV:2 * GV] + c
-            S[2, :, base:base + GV] = half3[:, 2 * GV:3 * GV] + c
-        else:
+        S[0, :, base:base + GV] = half3[:, 0:GV] + c
+        S[1, :, base:base + GV] = half3[:, GV:2 * GV] + c
+        S[2, :, base:base + GV] = half3[:, 2 * GV:3 * GV] + c
+        if albedo is not None:
             # packed attachment channels resampled with the SAME tents
-            # (same plan/geometry as heights; attachments.wgsl:12-43).
-            # ALL products (height + C channels) row-concatenate so the
-            # x-tent resample is ONE ((1+C)*33, 64) @ (64, 51) dot and
-            # each window slab is ONE tall store — the measured walls
-            # were the per-product small dots and the 3-per-product
-            # sub-lane stores (tools/material_kernel_ablation.py:
-            # stores ~400 us, per-product resample ~270 us at 2582
-            # tiles), not the window interp (~7 us).
+            # (same plan/geometry as heights; attachments.wgsl:12-43),
+            # per-channel dots + stores. MEASURED AND REJECTED
+            # (tools/material_kernel_ablation.py): row-concatenating the
+            # five products into one tall x-tent dot + one tall store per
+            # window slab regressed 2096 -> 2874 us — the 33-row
+            # (sublane-misaligned) register concats cost more than the
+            # 12 sub-lane stores they replace (~400 us).
             qa_raw = acache[slot % u_max]
-            rows_cat = [rows]
-            means = [c]
+            acc_abl = None
             for ch in range(alb_c):
                 if "alb_no_unpack" in ablate:
                     qa = qa_raw.astype(jnp.float32)
@@ -595,29 +718,26 @@ def _mesh_step_compute(spherical, origin_lod, ellipsoidal, s, uq_ref,
                     ).astype(jnp.float32)
                 ca = jnp.mean(qa)
                 qac = qa - ca
-                rows_cat.append(jnp.dot(
-                    wy[:, 0:32], qac[:, 0:64],
-                    preferred_element_type=jnp.float32) + jnp.dot(
-                    wy[:, 32:64], qac[:, 64:128],
-                    preferred_element_type=jnp.float32
-                ))
-                means.append(ca)
-            cat = jnp.concatenate(rows_cat, axis=0)  # ((1+C)*33, 64)
-            if "alb_no_dots" in ablate:
-                half3cat = cat[:, 0:3 * GV]
-            else:
-                half3cat = jnp.dot(cat, wx.T,
-                                   preferred_element_type=jnp.float32)
-            mean_cat = means[alb_c]  # block C = last channel
-            for b in range(alb_c - 1, -1, -1):  # blocks C-1..0 (0 = height)
-                mean_cat = jnp.where(cat_rowi == b, means[b], mean_cat)
-            half3cat = half3cat + mean_cat
-            if "alb_no_store" in ablate:
-                SA[0, 0:K, 0:3 * GV] = half3cat[0:K]
-            else:
-                SA[0, :, base:base + GV] = half3cat[:, 0:GV]
-                SA[1, :, base:base + GV] = half3cat[:, GV:2 * GV]
-                SA[2, :, base:base + GV] = half3cat[:, 2 * GV:3 * GV]
+                if "alb_no_dots" in ablate:
+                    half3a = wy[:, 0:3 * GV] * 0.0 + ca
+                else:
+                    rows_a = jnp.dot(
+                        wy[:, 0:32], qac[:, 0:64],
+                        preferred_element_type=jnp.float32) + jnp.dot(
+                        wy[:, 32:64], qac[:, 64:128],
+                        preferred_element_type=jnp.float32
+                    )
+                    half3a = jnp.dot(rows_a, wx.T,
+                                     preferred_element_type=jnp.float32)
+                if "alb_no_store" in ablate:
+                    # keep the dots alive, drop the 3 sub-lane stores
+                    acc_abl = half3a if acc_abl is None else acc_abl + half3a
+                else:
+                    SA[3 * ch + 0, :, base:base + GV] = half3a[:, 0:GV] + ca
+                    SA[3 * ch + 1, :, base:base + GV] = half3a[:, GV:2 * GV] + ca
+                    SA[3 * ch + 2, :, base:base + GV] = half3a[:, 2 * GV:3 * GV] + ca
+            if "alb_no_store" in ablate and acc_abl is not None:
+                SA[0, :, 0:3 * GV] = acc_abl
 
     # ---- phase B: batched per-vertex stage on (GV, LANES) shapes ----
     E = GV  # even block size in the evens-first y order
@@ -647,14 +767,7 @@ def _mesh_step_compute(spherical, origin_lod, ellipsoidal, s, uq_ref,
 
     # --- smoothed slabs (the coarser data lod): value-space 1-2-1 with
     # duplicated boundaries, on the (a, evens-first-y) structure ---
-    if albedo is not None:
-        # heights live in rows 0..K of the concatenated product slabs
-        SA_ref = albedo[4]
-        s0 = SA_ref[0, 0:K]
-        s1 = SA_ref[1, 0:K]
-        s2 = SA_ref[2, 0:K]
-    else:
-        s0, s1, s2 = S[0], S[1], S[2]
+    s0, s1, s2 = S[0], S[1], S[2]
 
     jslab = jax.lax.broadcasted_iota(jnp.int32, (K, LANES), 1) % GV
 
@@ -920,30 +1033,45 @@ def _mesh_step_compute(spherical, origin_lod, ellipsoidal, s, uq_ref,
         base_rows = 9
     if albedo is not None:
         # fused albedo channels at the same morphed uvs, same window
-        # weights (raw texel values; glue normalizes). Channel ch's
-        # window slabs are rows (1+ch)*K of the concatenated slabs.
+        # weights (raw texel values; glue normalizes)
+        cols = []
         for ch in range(alb_c):
-            r0 = (1 + ch) * K
             if "alb_no_interp" in ablate:
-                col = SA[1, r0:r0 + GV]
+                col = SA[3 * ch + 1][0:GV]
             else:
-                col = interp9(SA[0, r0:r0 + K], SA[1, r0:r0 + K],
-                              SA[2, r0:r0 + K])
-            out_ref[0, (base_rows + ch) * GV:(base_rows + ch + 1) * GV] = (
-                col * valid * live
+                col = interp9(SA[3 * ch + 0], SA[3 * ch + 1], SA[3 * ch + 2])
+            cols.append(col)
+        if shade is None:
+            for ch in range(alb_c):
+                out_ref[0, (base_rows + ch) * GV:(base_rows + ch + 1) * GV] = (
+                    cols[ch] * valid * live
+                )
+        else:
+            # ---- in-kernel fragment stage (planar StandardMaterial +
+            # albedo fast path): the full PBR shade on the registers
+            # already holding albedo/height/position — saves the
+            # ~7.5x-padded grid materializations + XLA shade pass
+            # (measured ~0.39 ms/frame on the 8k^2 material bench) ----
+            shaded = _kernel_pbr_shade(
+                shade, cols, height, px, py, pz, fs, gV, lane_shift, j, sub,
             )
+            for ch in range(alb_c):
+                out_ref[0, (base_rows + ch) * GV:(base_rows + ch + 1) * GV] = (
+                    shaded[ch] * valid * live
+                )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("spherical", "origin_lod", "interpret", "ellipsoidal",
-                     "albedo_channels", "albedo_bits", "ablate"),
+                     "albedo_channels", "albedo_bits", "ablate", "shade"),
 )
 def mesh_fused(block_array, batch, tile_params, fs, hp_steps=None,
                spherical: bool = False, origin_lod: int = 10,
                interpret: bool = False, ellipsoidal: bool = False,
                albedo_blocks=None, albedo_channels: int = 0,
-               albedo_bits: int = 0, ablate: frozenset = frozenset()):
+               albedo_bits: int = 0, ablate: frozenset = frozenset(),
+               shade=None):
     """Fused frame mesh: fetch + resample + morph + interpolate.
 
     Args:
@@ -997,13 +1125,10 @@ def mesh_fused(block_array, batch, tile_params, fs, hp_steps=None,
     scratch = [pltpu.VMEM((u_max, 32, 128), jnp.int32)]
     if albedo_channels:
         scratch.append(pltpu.VMEM((u_max, 32, 128), jnp.int32))
-        # ONE concatenated product slab per window offset: rows 0..K are
-        # the heights, rows (1+ch)*K each channel (replaces the separate
-        # S scratch — see the row-concat resample in _mesh_step_compute)
-        scratch.append(pltpu.VMEM(
-            (3, (1 + albedo_channels) * K, LANES), jnp.float32))
-    else:
-        scratch.append(pltpu.VMEM((3, K, LANES), jnp.float32))
+    scratch.append(pltpu.VMEM((3, K, LANES), jnp.float32))
+    if albedo_channels:
+        scratch.append(
+            pltpu.VMEM((3 * albedo_channels, K, LANES), jnp.float32))
     if spherical:
         scratch.append(pltpu.VMEM((4, GV, LANES), jnp.float32))
     scratch.append(pltpu.SemaphoreType.DMA(()))
@@ -1032,7 +1157,7 @@ def mesh_fused(block_array, batch, tile_params, fs, hp_steps=None,
     )
     return pl.pallas_call(
         _make_mesh_kernel(spherical, origin_lod, ellipsoidal,
-                          albedo_channels, albedo_bits, u_max, ablate),
+                          albedo_channels, albedo_bits, u_max, ablate, shade),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((steps, out_rows, LANES), jnp.float32),
         interpret=interpret,

@@ -409,6 +409,40 @@ def pbr_lighting(
     return jnp.concatenate([out, alpha], axis=-1)
 
 
+def kernel_shade_spec(material: "StandardMaterial", alb_max: float):
+    """Static spec for the IN-KERNEL fragment stage (pallas_kernels.
+    _kernel_pbr_shade): the full planar StandardMaterial + packed-albedo
+    fast path evaluated inside the fused mesh kernel. Returns None when
+    the material needs the staged path (per-light shadow hooks — the
+    kernel bakes lights as constants and has no hook surface)."""
+    if not isinstance(material, StandardMaterial):
+        return None
+    lights = []
+    for l in material.lights:
+        if getattr(l, "shadow", None) is not None:
+            return None
+        if isinstance(l, SpotLight):
+            lights.append(("spot", tuple(l.position), tuple(l.direction),
+                           tuple(l.color), float(l.intensity),
+                           float(l.range), float(l.inner_angle),
+                           float(l.outer_angle)))
+        elif isinstance(l, PointLight):
+            lights.append(("point", tuple(l.position), tuple(l.color),
+                           float(l.intensity), float(l.range)))
+        else:
+            lights.append(("dir", tuple(l.direction), tuple(l.color),
+                           float(l.illuminance)))
+    return (
+        float(material.perceptual_roughness),
+        float(material.metallic),
+        float(material.reflectance),
+        tuple(float(e) for e in material.emissive),
+        tuple(float(a) for a in material.ambient),
+        tuple(lights),
+        float(alb_max),
+    )
+
+
 # the planar example's gradient2.png equivalent: a deep-water ->
 # shallows -> grass -> rock -> snow ramp (an original colormap; the
 # reference ships a PNG asset we don't copy)
@@ -456,6 +490,36 @@ def gradient_material(gradient=None, exponent: float = 0.9):
     return material
 
 
+class _AlbedoMaterial:
+    """Callable base-color source reading a sampled attachment (see
+    :func:`albedo_material`). Carries ``attachment_index`` so the frame
+    step can recognize the packed-albedo fast path and fuse the whole
+    material stage into the mesh kernel."""
+
+    def __init__(self, attachment_index: int):
+        self.attachment_index = attachment_index
+
+    def __call__(self, ctx: ShadeContext):
+        idx = self.attachment_index
+        if not ctx.attachment_samples or idx not in ctx.attachment_samples:
+            raise ValueError(
+                f"albedo_material needs set_shading(sample_attachments="
+                f"({idx},)) so the frame step samples it"
+            )
+        c = ctx.attachment_samples[idx]
+        if c.shape[-1] >= 4:
+            return c[..., :4]
+        pad = jnp.ones(c.shape[:-1] + (4 - c.shape[-1],), c.dtype)
+        return jnp.concatenate([c, pad], axis=-1)
+
+    def __hash__(self):  # jit-static argument
+        return hash(("_AlbedoMaterial", self.attachment_index))
+
+    def __eq__(self, other):
+        return (isinstance(other, _AlbedoMaterial)
+                and other.attachment_index == self.attachment_index)
+
+
 def albedo_material(attachment_index: int = 1):
     """The planar example's ALBEDO branch: color straight from the albedo
     attachment sampled at the morphed vertex uvs (planar.wgsl
@@ -463,22 +527,11 @@ def albedo_material(attachment_index: int = 1):
 
     Requires ``Terrain.set_shading(material=albedo_material(),
     sample_attachments=(attachment_index,))`` so the frame step samples
-    the attachment in-jit (the fused attach_sample_fused path on TPU).
+    the attachment in-jit (the fused attach_sample_fused path on TPU;
+    with a StandardMaterial wrapper the WHOLE material stage fuses into
+    the mesh kernel — see render/pipeline.py's fused_shade path).
     """
-
-    def material(ctx: ShadeContext):
-        if not ctx.attachment_samples or attachment_index not in ctx.attachment_samples:
-            raise ValueError(
-                f"albedo_material needs set_shading(sample_attachments="
-                f"({attachment_index},)) so the frame step samples it"
-            )
-        c = ctx.attachment_samples[attachment_index]
-        if c.shape[-1] >= 4:
-            return c[..., :4]
-        pad = jnp.ones(c.shape[:-1] + (4 - c.shape[-1],), c.dtype)
-        return jnp.concatenate([c, pad], axis=-1)
-
-    return material
+    return _AlbedoMaterial(attachment_index)
 
 
 def show_geometry_lod(ctx: ShadeContext):

@@ -53,19 +53,21 @@ class TerrainFrameOutput:
     debug views, attachment sampling) still extracts inside the step.
     """
 
-    def __init__(self, tiles, mesh=None, colors=None, raw=None, cfg=None):
+    def __init__(self, tiles, mesh=None, colors=None, raw=None, cfg=None,
+                 shaded_channels: int = 0):
         self.tiles = tiles
-        self.colors = colors
+        self._colors = colors
         self._mesh = mesh
         self._raw = raw
         self._cfg = cfg
+        self._shaded_channels = shaded_channels
 
     @property
     def raw_mesh(self):
         """The fused kernel's flat product tensor (None on non-fused
         paths): rows pack [height, pos xyz, morphed uv(, normal xyz)
-        (, albedo channels)] x 17 vertex rows; lane = tile_in_step * 17
-        + vertex column."""
+        (, albedo channels | shaded RGBA)] x 17 vertex rows; lane =
+        tile_in_step * 17 + vertex column."""
         return self._raw
 
     @property
@@ -73,6 +75,15 @@ class TerrainFrameOutput:
         if self._mesh is None:
             self._mesh = _extract_grid(self._raw, self.tiles, self._cfg)
         return self._mesh
+
+    @property
+    def colors(self):
+        if self._colors is None and self._shaded_channels:
+            # in-kernel shade: colors ride the raw tensor's trailing rows
+            self._colors = _extract_colors(
+                self._raw, self._cfg, self._shaded_channels
+            )
+        return self._colors
 
     @property
     def tile_count(self) -> int:
@@ -91,6 +102,12 @@ class TerrainFrameOutput:
 def _extract_grid(raw, tiles, cfg):
     """One-dispatch lazy grid extraction (fused_to_grid under jit)."""
     return meshgen.fused_to_grid(raw, tiles, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg", "channels"))
+def _extract_colors(raw, cfg, channels):
+    """One-dispatch lazy color extraction (in-kernel-shaded rows)."""
+    return meshgen.fused_albedo_to_grid(raw, cfg, channels, 1.0)
 
 
 class Terrain:
@@ -117,7 +134,8 @@ class Terrain:
             if fmt is not None:
                 grid_in_shardings = (fmt, None)
         static_names = (
-            "cfg", "plan", "max_value", "shade_opts", "material", "extra_meta"
+            "cfg", "plan", "max_value", "shade_opts", "material",
+            "extra_meta", "fused_shade",
         )
         if grid_in_shardings is not None:
             self._step_grid = jax.jit(
@@ -430,7 +448,7 @@ class Terrain:
     def _frame_step_grid(block_array, uniform_blob,
                          cfg: StaticTerrainConfig, plan, max_value: float,
                          shade_opts=None, material=None,
-                         extra_blocks=(), extra_meta=()):
+                         extra_blocks=(), extra_meta=(), fused_shade=None):
         # single packed host->device transfer per frame (20 small uploads
         # cost tens of ms of latency through a tunneled TPU)
         uniforms = unpack_frame_uniforms(
@@ -441,6 +459,18 @@ class Terrain:
         # streaming-cache fetch schedule); the returned tiles are the
         # frame's canonical list, row-paired with the mesh
         if Terrain._use_fused(cfg):
+            if fused_shade is not None:
+                # the ENTIRE material stage in the mesh kernel: packed
+                # albedo fetch + PBR shade on the kernel's registers
+                # (planar StandardMaterial + albedo fast path; colors
+                # ride the raw tensor, extracted lazily like the mesh)
+                spec, pc, pb = fused_shade
+                raw, tiles = meshgen.generate_mesh_fused(
+                    tiles, block_array, uniforms, cfg, plan, max_value,
+                    albedo_blocks=extra_blocks[0][0], albedo_channels=pc,
+                    albedo_bits=pb, shade_spec=spec,
+                )
+                return tiles, raw, None
             raw, tiles = meshgen.generate_mesh_fused(
                 tiles, block_array, uniforms, cfg, plan, max_value
             )
@@ -493,7 +523,8 @@ class Terrain:
     def _frame_step_grid_frozen(block_array, uniform_blob, tiles,
                                 cfg: StaticTerrainConfig, plan, max_value: float,
                                 shade_opts=None, material=None,
-                                extra_blocks=(), extra_meta=()):
+                                extra_blocks=(), extra_meta=(),
+                                fused_shade=None):  # freeze keeps the staged path
         """Frozen-prepass frame (debug freeze, debug/mod.rs:186-192): mesh
         the GIVEN tile list from the new camera instead of refining."""
         uniforms = unpack_frame_uniforms(
@@ -587,6 +618,31 @@ class Terrain:
                             att.packed_bits,
                         ))
                     extra_blocks, extra_meta = tuple(eb), tuple(em)
+                # fused material fast path: planar fused frame + a
+                # StandardMaterial whose base color is the ONE sampled
+                # packed Rgba8 attachment, no debug/wireframe/shadow
+                # hooks -> the whole fragment stage runs inside the mesh
+                # kernel (kernel_shade_spec; measured in
+                # tools/material_frame_bench.py "ONE-KERNEL material")
+                fused_shade = None
+                if (self._shade_opts is not None and len(extra_meta) == 1
+                        and Terrain._use_fused(cfg_s) and not cfg_s.spherical
+                        and not frozen):
+                    from bevy_terrain_tpu.render.material import (
+                        StandardMaterial, kernel_shade_spec,
+                    )
+
+                    lighting_f, dbg_view, _, wire_f, _ = self._shade_opts
+                    idx, _, maxv_i, pm_i, pc_i, pb_i = extra_meta[0]
+                    mat = self.shading_fn
+                    if (lighting_f and dbg_view is None and not wire_f
+                            and pm_i and pc_i == 4
+                            and isinstance(mat, StandardMaterial)
+                            and getattr(mat.base_color, "attachment_index",
+                                        None) == idx):
+                        spec = kernel_shade_spec(mat, maxv_i)
+                        if spec is not None:
+                            fused_shade = (spec, pc_i, pb_i)
                 # positional args: pjit rejects kwargs with in_shardings
                 if frozen:
                     tiles, mesh, colors = self._step_grid_frozen(
@@ -600,6 +656,7 @@ class Terrain:
                         self.shading_fn,
                         extra_blocks,
                         extra_meta,
+                        None,
                     )
                 else:
                     def _dispatch(cfg_x):
@@ -613,6 +670,7 @@ class Terrain:
                             self.shading_fn,
                             extra_blocks,
                             extra_meta,
+                            fused_shade,
                         )
 
                     tiles, mesh, colors = _dispatch(cfg_s)
@@ -660,10 +718,12 @@ class Terrain:
                 count.copy_to_host_async()
                 ad["pending"] = count
             if isinstance(mesh, jax.Array):
-                # fused step emitted the kernel's raw tensor (shading off):
-                # the grid view extracts lazily on first .mesh access
+                # fused step emitted the kernel's raw tensor: the grid
+                # view (and in-kernel-shaded colors) extract lazily
                 outputs[view_id] = TerrainFrameOutput(
-                    tiles=tiles, colors=colors, raw=mesh, cfg=cfg_s)
+                    tiles=tiles, colors=colors, raw=mesh, cfg=cfg_s,
+                    shaded_channels=fused_shade[1] if fused_shade else 0,
+                )
             else:
                 outputs[view_id] = TerrainFrameOutput(
                     tiles=tiles, mesh=mesh, colors=colors)

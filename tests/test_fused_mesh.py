@@ -357,6 +357,61 @@ class TestPackedAttachmentSampling:
         # (different op order than the kernel's exact interpret dots)
         np.testing.assert_allclose(got[:n], want[:n], atol=2e-3)
 
+    def test_in_kernel_shade_matches_staged(self, small_frame):
+        """The in-kernel fragment stage (generate_mesh_fused with
+        shade_spec) must match render.material.shade on the extracted
+        grids — same albedo, same normals, same Filament lighting."""
+        from bevy_terrain_tpu.render.material import (
+            DirectionalLight, PointLight, StandardMaterial, albedo_material,
+            kernel_shade_spec, shade,
+        )
+
+        model, vc, uniforms, plan, blocks = small_frame
+        cfg = _cfg(vc)
+        rng = np.random.default_rng(31)
+        chans = [
+            rng.integers(0, 256, blocks.shape).astype(np.uint32)
+            for _ in range(4)
+        ]
+        packed_np = chans[0].copy()
+        for c in range(1, 4):
+            packed_np |= chans[c] << (8 * c)
+        packed = jnp.asarray(packed_np.view(np.int32))
+        material = StandardMaterial(
+            base_color=albedo_material(1),
+            perceptual_roughness=0.6, metallic=0.2, reflectance=0.4,
+            lights=(
+                DirectionalLight(direction=(-0.3, -0.8, -0.5),
+                                 color=(1.0, 0.9, 0.8), illuminance=0.9),
+                PointLight(position=(120.0, 300.0, -80.0), range=3000.0,
+                           intensity=0.5),
+            ),
+        )
+        spec = kernel_shade_spec(material, 255.0)
+        assert spec is not None
+
+        tiles0 = refinement.refine_tiles(uniforms, cfg)
+        raw_s, tiles_s = meshgen.generate_mesh_fused(
+            tiles0, blocks, uniforms, cfg, plan, 65535.0, interpret=True,
+            albedo_blocks=packed, albedo_channels=4, albedo_bits=8,
+            shade_spec=spec,
+        )
+        got = np.asarray(meshgen.fused_albedo_to_grid(raw_s, cfg, 4, 1.0))
+
+        raw_m, tiles_m = meshgen.generate_mesh_fused(
+            tiles0, blocks, uniforms, cfg, plan, 65535.0, interpret=True,
+            albedo_blocks=packed, albedo_channels=4, albedo_bits=8,
+        )
+        mesh_m = meshgen.fused_to_grid(raw_m, tiles_m, cfg)
+        rgba = meshgen.fused_albedo_to_grid(raw_m, cfg, 4, 255.0)
+        want = np.asarray(shade(
+            mesh_m, tiles_m, uniforms, cfg, material=material, lighting=True,
+            attachment_samples={1: rgba},
+        ))
+        n = int(tiles_s.tile_count)
+        assert int(tiles_m.tile_count) == n and n > 0
+        np.testing.assert_allclose(got[:n], want[:n], atol=2e-3)
+
     def test_rg16_packed_matches_per_channel(self, small_frame):
         """2 x u16 packing (Rg16): 16-bit shift/mask unpack path, packed
         fused kernel vs two per-channel passes."""

@@ -36,7 +36,7 @@ def main() -> None:
     from bevy_terrain_tpu.ops.pallas_kernels import block_format
     from bevy_terrain_tpu.ops.patch_sampling import sample_attachment_vertices
     from bevy_terrain_tpu.render.material import (
-        StandardMaterial, albedo_material, shade,
+        StandardMaterial, albedo_material, kernel_shade_spec, shade,
     )
     from bevy_terrain_tpu.utils.timing import device_time_ms
 
@@ -158,6 +158,19 @@ def main() -> None:
         )
         return tiles.tile_count, colors
 
+    shade_spec = kernel_shade_spec(material, 255.0)
+
+    def merged_shaded(block_array, ap, u):
+        # the ENTIRE material frame in one kernel: mesh + packed RGBA +
+        # in-kernel PBR (raw layout out; grid views extract lazily)
+        tiles = refinement.refine_tiles(u, cfg)
+        raw, tiles = meshgen.generate_mesh_fused(
+            tiles, block_array, u, cfg, plan, 65535.0,
+            albedo_blocks=ap, albedo_channels=4, albedo_bits=8,
+            shade_spec=shade_spec,
+        )
+        return tiles.tile_count, raw
+
     jmesh = jax.jit(mesh_only, in_shardings=(fmt, None))
     jgrid = jax.jit(mesh_grid, in_shardings=(fmt, None))
     jrgba = jax.jit(mesh_rgba, in_shardings=(fmt, (fmt,) * 4, None))
@@ -166,6 +179,7 @@ def main() -> None:
     jfull = jax.jit(full, in_shardings=(fmt, fmt, None))
     jmerged = jax.jit(merged, in_shardings=(fmt, fmt, None))
     jmfull = jax.jit(merged_full, in_shardings=(fmt, fmt, None))
+    jmshade = jax.jit(merged_shaded, in_shardings=(fmt, fmt, None))
     (c0, _), (c1, colors) = (
         jax.block_until_ready(jmesh(blocks, u1)),
         jax.block_until_ready(jfull(blocks, albedo_packed, u1)),
@@ -182,8 +196,16 @@ def main() -> None:
     cm, rm, _ = jax.block_until_ready(jmerged(blocks, albedo_packed, u1))
     nlive = int(cm)
     merr = float(jnp.max(jnp.abs(rm[:nlive] - rp[:nlive])))
-    jax.block_until_ready(jmfull(blocks, albedo_packed, u1))
-    assert int(c0) == int(c1) == nlive
+    _, cfull = jax.block_until_ready(jmfull(blocks, albedo_packed, u1))
+    # in-kernel shade parity vs the staged shade, live tiles only
+    cs, raw_s = jax.block_until_ready(jmshade(blocks, albedo_packed, u1))
+    from bevy_terrain_tpu.ops.meshgen import fused_albedo_to_grid
+
+    shaded_grid = fused_albedo_to_grid(raw_s, cfg, 4, 1.0)
+    serr = float(jnp.max(jnp.abs(
+        shaded_grid[:nlive] - cfull[:nlive]
+    )))
+    assert int(c0) == int(c1) == nlive == int(cs)
     t_mesh = device_time_ms(jmesh, blocks, u1, label="mat_mesh")
     t_grid = device_time_ms(jgrid, blocks, u1, label="mat_grid")
     t_rgba = device_time_ms(jrgba, blocks, albedo_blocks, u1, label="mat_rgba")
@@ -194,6 +216,8 @@ def main() -> None:
                               label="mat_merged")
     t_mfull = device_time_ms(jmfull, blocks, albedo_packed, u1,
                              label="mat_merged_full")
+    t_mshade = device_time_ms(jmshade, blocks, albedo_packed, u1,
+                              label="mat_merged_shaded")
     print(
         f"mesh-only frame:        {t_mesh * 1e3:7.1f} us ({int(c0)} tiles)\n"
         f"+ fused_to_grid:        {t_grid * 1e3:7.1f} us "
@@ -209,7 +233,9 @@ def main() -> None:
         f"(+{(t_full - t_pack) * 1e3:.1f})\n"
         f"MERGED mesh+RGBA:       {t_merged * 1e3:7.1f} us "
         f"(one kernel; parity vs packed {merr:.2e})\n"
-        f"MERGED + PBR = full:    {t_mfull * 1e3:7.1f} us "
+        f"MERGED + PBR = full:    {t_mfull * 1e3:7.1f} us\n"
+        f"ONE-KERNEL material:    {t_mshade * 1e3:7.1f} us "
+        f"(in-kernel PBR; parity vs staged shade {serr:.2e}) "
         f"(target <= 1500 us at capacity {cfg.tile_capacity})"
     )
 
