@@ -242,6 +242,7 @@ def generate_mesh_fused(
     albedo_bits: int = 0,
     ablate: frozenset = frozenset(),
     shade_spec=None,
+    albedo_fast: bool = True,
 ):
     """Single fused Pallas kernel for the whole planar mesh stage.
 
@@ -357,6 +358,7 @@ def generate_mesh_fused(
         interpret=interpret, ellipsoidal=cfg.ellipsoidal,
         albedo_blocks=albedo_blocks, albedo_channels=albedo_channels,
         albedo_bits=albedo_bits, ablate=ablate, shade=shade_spec,
+        albedo_fast=albedo_fast,
     )
     return raw, tiles
 

@@ -500,7 +500,7 @@ def _kernel_pbr_shade(shade, cols, height, px, py, pz, fs, gV, lane_shift,
 def _make_mesh_kernel(spherical: bool, origin_lod: int, ellipsoidal: bool,
                       alb_channels: int = 0, alb_bits: int = 0,
                       u_max: int = U_MAX, ablate: frozenset = frozenset(),
-                      shade=None):
+                      shade=None, alb_fast: bool = True):
     """``alb_channels > 0`` fuses a packed multi-channel attachment fetch
     into the mesh kernel (the full material frame in ONE pass): a second
     quad stream rides the SAME schedule, and the albedo resample reuses
@@ -519,7 +519,8 @@ def _make_mesh_kernel(spherical: bool, origin_lod: int, ellipsoidal: bool,
             else:
                 cache, acache, S, SA, sem, asem, cnt = refs[11:]
                 HP = None
-            albedo = (alb_channels, alb_bits, ins[9], acache, SA, asem)
+            albedo = (alb_channels, alb_bits, ins[9], acache, SA, asem,
+                      alb_fast)
             args = ins[:9] + (ins[10],)
         else:
             args = refs[:10]
@@ -555,7 +556,7 @@ def _mesh_kernel_body(spherical, origin_lod, ellipsoidal, uq_ref, slots_ref,
         )
 
     if albedo is not None:
-        _, _, ahbm_ref, acache, _, asem = albedo
+        _, _, ahbm_ref, acache, _, asem, _ = albedo
 
         def atransfer(r):
             return pltpu.make_async_copy(
@@ -674,9 +675,15 @@ def _mesh_step_compute(spherical, origin_lod, ellipsoidal, s, uq_ref,
     wx_all = tents[K:NT]
 
     if albedo is not None:
-        alb_c, alb_bits, _, acache, SA, _ = albedo
+        alb_c, alb_bits, _, acache, SA, _, alb_fast = albedo
         alb_mask = jnp.int32((1 << alb_bits) - 1)
+        use_alb_fast = alb_fast and not (ablate & {
+            "alb_no_unpack", "alb_no_dots", "alb_no_store"})
 
+    # (tile-PAIR stores — concatenating two adjacent tiles' (33, 17)
+    # slabs into one (33, 34) store — were MEASURED AND REJECTED: the
+    # lane concat costs more than the store it saves; mesh-only frame
+    # 740 -> 853 us, one-kernel material 1533 -> 1660 us.)
     for t in range(T):
         if "no_phase_a" in ablate:
             break
@@ -700,16 +707,48 @@ def _mesh_step_compute(spherical, origin_lod, ellipsoidal, s, uq_ref,
         S[2, :, base:base + GV] = half3[:, 2 * GV:3 * GV] + c
         if albedo is not None:
             # packed attachment channels resampled with the SAME tents
-            # (same plan/geometry as heights; attachments.wgsl:12-43),
-            # per-channel dots + stores. MEASURED AND REJECTED
-            # (tools/material_kernel_ablation.py): row-concatenating the
-            # five products into one tall x-tent dot + one tall store per
-            # window slab regressed 2096 -> 2874 us — the 33-row
-            # (sublane-misaligned) register concats cost more than the
-            # 12 sub-lane stores they replace (~400 us).
+            # (same plan/geometry as heights; attachments.wgsl:12-43).
+            # ROW-concat was also measured and rejected
+            # (tools/material_kernel_ablation.py): concatenating the five
+            # products into one tall x-tent dot regressed 2096 -> 2874 us —
+            # 33-row (sublane-misaligned) register concats cost more than
+            # the stores they replace.
             qa_raw = acache[slot % u_max]
+            if use_alb_fast:
+                # ---- fast path (default): 8/16-bit color needs
+                # sampler-grade precision, not f32 — GPU bilinear units
+                # filter with ~9-bit weights (the reference's anisotropy-16
+                # sampler, terrain_bind_group.rs:124, is no more precise).
+                # Tents and texel values run bf16 on the MXU (byte values
+                # are exact in bf16; products accumulate f32; measured
+                # error <= ~1 LSB of 8-bit color), mean-centering is
+                # dropped, and the C channels' y contractions lane-stack
+                # into TWO wide dots instead of 2C narrow ones.
+                wyb = wy.astype(jnp.bfloat16)
+                wxb = wx.astype(jnp.bfloat16)
+                chans = [
+                    (jax.lax.shift_right_logical(
+                        qa_raw, jnp.int32(alb_bits * ch)) & alb_mask
+                     ).astype(jnp.bfloat16)
+                    for ch in range(alb_c)
+                ]
+                q0 = jnp.concatenate([c[:, 0:64] for c in chans], axis=1)
+                q1 = jnp.concatenate([c[:, 64:128] for c in chans], axis=1)
+                rows_all = jnp.dot(
+                    wyb[:, 0:32], q0, preferred_element_type=jnp.float32
+                ) + jnp.dot(
+                    wyb[:, 32:64], q1, preferred_element_type=jnp.float32
+                )  # (33, 64 * C)
+                for ch in range(alb_c):
+                    half3a = jnp.dot(
+                        rows_all[:, 64 * ch:64 * (ch + 1)].astype(
+                            jnp.bfloat16),
+                        wxb.T, preferred_element_type=jnp.float32)
+                    SA[3 * ch + 0, :, base:base + GV] = half3a[:, 0:GV]
+                    SA[3 * ch + 1, :, base:base + GV] = half3a[:, GV:2 * GV]
+                    SA[3 * ch + 2, :, base:base + GV] = half3a[:, 2 * GV:3 * GV]
             acc_abl = None
-            for ch in range(alb_c):
+            for ch in range(0 if use_alb_fast else alb_c):
                 if "alb_no_unpack" in ablate:
                     qa = qa_raw.astype(jnp.float32)
                 else:
@@ -1064,14 +1103,15 @@ def _mesh_step_compute(spherical, origin_lod, ellipsoidal, s, uq_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("spherical", "origin_lod", "interpret", "ellipsoidal",
-                     "albedo_channels", "albedo_bits", "ablate", "shade"),
+                     "albedo_channels", "albedo_bits", "ablate", "shade",
+                     "albedo_fast"),
 )
 def mesh_fused(block_array, batch, tile_params, fs, hp_steps=None,
                spherical: bool = False, origin_lod: int = 10,
                interpret: bool = False, ellipsoidal: bool = False,
                albedo_blocks=None, albedo_channels: int = 0,
                albedo_bits: int = 0, ablate: frozenset = frozenset(),
-               shade=None):
+               shade=None, albedo_fast: bool = True):
     """Fused frame mesh: fetch + resample + morph + interpolate.
 
     Args:
@@ -1157,7 +1197,8 @@ def mesh_fused(block_array, batch, tile_params, fs, hp_steps=None,
     )
     return pl.pallas_call(
         _make_mesh_kernel(spherical, origin_lod, ellipsoidal,
-                          albedo_channels, albedo_bits, u_max, ablate, shade),
+                          albedo_channels, albedo_bits, u_max, ablate, shade,
+                          alb_fast=albedo_fast),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((steps, out_rows, LANES), jnp.float32),
         interpret=interpret,

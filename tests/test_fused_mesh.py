@@ -332,9 +332,11 @@ class TestPackedAttachmentSampling:
         packed = jnp.asarray(packed_np.view(np.int32))
 
         tiles0 = refinement.refine_tiles(uniforms, cfg)
+        # exact path (albedo_fast=False): f32 dots, identical op order
         raw_m, tiles_m = meshgen.generate_mesh_fused(
             tiles0, blocks, uniforms, cfg, plan, 65535.0, interpret=True,
             albedo_blocks=packed, albedo_channels=4, albedo_bits=8,
+            albedo_fast=False,
         )
         raw_0, tiles_0 = meshgen.generate_mesh_fused(
             tiles0, blocks, uniforms, cfg, plan, 65535.0, interpret=True,
@@ -356,6 +358,20 @@ class TestPackedAttachmentSampling:
         # CPU routes sample_attachment_vertices through the XLA fallback
         # (different op order than the kernel's exact interpret dots)
         np.testing.assert_allclose(got[:n], want[:n], atol=2e-3)
+        # (c) the production fast path (bf16 tents/texels, lane-stacked
+        # channel dots) is sampler-grade: within 2 LSB of 8-bit color of
+        # the exact path (measured max ~0.9 LSB), mesh rows bit-identical
+        raw_f, tiles_f = meshgen.generate_mesh_fused(
+            tiles0, blocks, uniforms, cfg, plan, 65535.0, interpret=True,
+            albedo_blocks=packed, albedo_channels=4, albedo_bits=8,
+            albedo_fast=True,
+        )
+        assert int(tiles_f.tile_count) == n
+        np.testing.assert_array_equal(
+            np.asarray(raw_f[:, :base_rows]), np.asarray(raw_0))
+        got_f = np.asarray(
+            meshgen.fused_albedo_to_grid(raw_f, cfg, 4, 255.0))
+        np.testing.assert_allclose(got_f[:n], got[:n], atol=2.0 / 255.0)
 
     def test_in_kernel_shade_matches_staged(self, small_frame):
         """The in-kernel fragment stage (generate_mesh_fused with
