@@ -243,6 +243,7 @@ def generate_mesh_fused(
     ablate: frozenset = frozenset(),
     shade_spec=None,
     albedo_fast: bool = True,
+    albedo_combined: bool = False,
 ):
     """Single fused Pallas kernel for the whole planar mesh stage.
 
@@ -358,7 +359,7 @@ def generate_mesh_fused(
         interpret=interpret, ellipsoidal=cfg.ellipsoidal,
         albedo_blocks=albedo_blocks, albedo_channels=albedo_channels,
         albedo_bits=albedo_bits, ablate=ablate, shade=shade_spec,
-        albedo_fast=albedo_fast,
+        albedo_fast=albedo_fast, albedo_combined=albedo_combined,
     )
     return raw, tiles
 

@@ -414,7 +414,9 @@ def _kernel_pbr_shade(shade, cols, height, px, py, pz, fs, gV, lane_shift,
     nx, ny, nz = -dh_du * ninv, ninv, -dh_dv * ninv
 
     base = [cols[c] * inv_max for c in range(3)]
-    alpha = cols[3] * inv_max
+    # opaque materials sample 3 channels; alpha pins to 1 (never stored —
+    # the caller writes len(cols) output rows)
+    alpha = cols[3] * inv_max if len(cols) > 3 else jnp.ones_like(base[0])
     dc = [b * (1.0 - metallic) for b in base]
     f0 = [0.16 * reflectance * reflectance * (1.0 - metallic) + b * metallic
           for b in base]
@@ -500,7 +502,8 @@ def _kernel_pbr_shade(shade, cols, height, px, py, pz, fs, gV, lane_shift,
 def _make_mesh_kernel(spherical: bool, origin_lod: int, ellipsoidal: bool,
                       alb_channels: int = 0, alb_bits: int = 0,
                       u_max: int = U_MAX, ablate: frozenset = frozenset(),
-                      shade=None, alb_fast: bool = True):
+                      shade=None, alb_fast: bool = True,
+                      alb_combined: bool = False):
     """``alb_channels > 0`` fuses a packed multi-channel attachment fetch
     into the mesh kernel (the full material frame in ONE pass): a second
     quad stream rides the SAME schedule, and the albedo resample reuses
@@ -512,7 +515,20 @@ def _make_mesh_kernel(spherical: bool, origin_lod: int, ellipsoidal: bool,
     (the default) generates exactly the production kernel."""
 
     def kernel(*refs):
-        if alb_channels:
+        if alb_channels and alb_combined:
+            # ONE combined quad stream: block rows 0:32 = heights,
+            # 32:64 = packed albedo — one 32 KB DMA per tile serves the
+            # whole material frame
+            ins = refs[:10]  # 7 prefetched + gr8 + combined hbm + out
+            if spherical:
+                cache, S, SA, HP, sem, cnt = refs[10:]
+            else:
+                cache, S, SA, sem, cnt = refs[10:]
+                HP = None
+            albedo = (alb_channels, alb_bits, None, None, SA, None,
+                      alb_fast)
+            args = ins
+        elif alb_channels:
             ins = refs[:11]  # 7 prefetched + gr8 + hbm + albedo hbm + out
             if spherical:
                 cache, acache, S, SA, HP, sem, asem, cnt = refs[11:]
@@ -555,7 +571,7 @@ def _mesh_kernel_body(spherical, origin_lod, ellipsoidal, uq_ref, slots_ref,
             hbm_ref.at[uq_ref[r]], cache.at[r % u_max], sem
         )
 
-    if albedo is not None:
+    if albedo is not None and albedo[3] is not None:
         _, _, ahbm_ref, acache, _, asem, _ = albedo
 
         def atransfer(r):
@@ -679,6 +695,7 @@ def _mesh_step_compute(spherical, origin_lod, ellipsoidal, s, uq_ref,
         alb_mask = jnp.int32((1 << alb_bits) - 1)
         use_alb_fast = alb_fast and not (ablate & {
             "alb_no_unpack", "alb_no_dots", "alb_no_store"})
+        alb_combined = acache is None  # heights+albedo share one block
 
     # (tile-PAIR stores — concatenating two adjacent tiles' (33, 17)
     # slabs into one (33, 34) store — were MEASURED AND REJECTED: the
@@ -688,7 +705,11 @@ def _mesh_step_compute(spherical, origin_lod, ellipsoidal, s, uq_ref,
         if "no_phase_a" in ablate:
             break
         slot = slots_ref[s * T + t]
-        q = cache[slot % u_max].astype(jnp.float32)  # (32, 128)
+        qfull = cache[slot % u_max]
+        if albedo is not None and alb_combined:
+            q = qfull[0:32].astype(jnp.float32)  # (32, 128) heights
+        else:
+            q = qfull.astype(jnp.float32)  # (32, 128)
         c = jnp.mean(q)
         qc = q - c
         wy = wy_all[:, t * P:(t + 1) * P]
@@ -713,7 +734,7 @@ def _mesh_step_compute(spherical, origin_lod, ellipsoidal, s, uq_ref,
             # products into one tall x-tent dot regressed 2096 -> 2874 us —
             # 33-row (sublane-misaligned) register concats cost more than
             # the stores they replace.
-            qa_raw = acache[slot % u_max]
+            qa_raw = qfull[32:64] if alb_combined else acache[slot % u_max]
             if use_alb_fast:
                 # ---- fast path (default): 8/16-bit color needs
                 # sampler-grade precision, not f32 — GPU bilinear units
@@ -724,6 +745,11 @@ def _mesh_step_compute(spherical, origin_lod, ellipsoidal, s, uq_ref,
                 # error <= ~1 LSB of 8-bit color), mean-centering is
                 # dropped, and the C channels' y contractions lane-stack
                 # into TWO wide dots instead of 2C narrow ones.
+                # (micro-variants measured and rejected: skipping ch0's
+                # shift / the top channel's mask and hoisting one
+                # (33, 256) bf16 cast of rows_all regressed the frame
+                # 1534 -> 1824 us — Mosaic fuses the per-slice casts into
+                # the x-dot operands; a standalone wide cast does not.)
                 wyb = wy.astype(jnp.bfloat16)
                 wxb = wx.astype(jnp.bfloat16)
                 chans = [
@@ -1104,14 +1130,15 @@ def _mesh_step_compute(spherical, origin_lod, ellipsoidal, s, uq_ref,
     jax.jit,
     static_argnames=("spherical", "origin_lod", "interpret", "ellipsoidal",
                      "albedo_channels", "albedo_bits", "ablate", "shade",
-                     "albedo_fast"),
+                     "albedo_fast", "albedo_combined"),
 )
 def mesh_fused(block_array, batch, tile_params, fs, hp_steps=None,
                spherical: bool = False, origin_lod: int = 10,
                interpret: bool = False, ellipsoidal: bool = False,
                albedo_blocks=None, albedo_channels: int = 0,
                albedo_bits: int = 0, ablate: frozenset = frozenset(),
-               shade=None, albedo_fast: bool = True):
+               shade=None, albedo_fast: bool = True,
+               albedo_combined: bool = False):
     """Fused frame mesh: fetch + resample + morph + interpolate.
 
     Args:
@@ -1157,14 +1184,26 @@ def mesh_fused(block_array, batch, tile_params, fs, hp_steps=None,
         jnp.stack(rows).reshape(GR_ROWS, steps, TILES_PER_STEP),
         (1, 0, 2),
     )
+    # the bf16 fast path is sampler-grade for 8-bit channels (byte values
+    # exact in bf16); 16-bit channels (Rg16) would quantize to ~8 bits,
+    # so they keep the exact f32 resample
+    albedo_fast = albedo_fast and albedo_bits <= 8
     # the albedo stream doubles the VMEM cache footprint and adds the
     # 3*C slab scratch — shrink the ring to fit the 16 MB scoped-vmem
     # limit (256-slot pairs measured 680 KB over). 128 still covers a
     # step's 64-rank span with a full step of prefetch lookahead.
     u_max = 128 if albedo_channels else U_MAX
-    scratch = [pltpu.VMEM((u_max, 32, 128), jnp.int32)]
-    if albedo_channels:
-        scratch.append(pltpu.VMEM((u_max, 32, 128), jnp.int32))
+    if albedo_combined:
+        # ONE ring of (64, 128) combined blocks (heights rows 0:32,
+        # packed albedo rows 32:64): same 4 MB VMEM as the two separate
+        # rings, HALF the DMA count — one 32 KB transfer per tile serves
+        # the whole material frame
+        assert albedo_channels and albedo_blocks is None
+        scratch = [pltpu.VMEM((u_max, 64, 128), jnp.int32)]
+    else:
+        scratch = [pltpu.VMEM((u_max, 32, 128), jnp.int32)]
+        if albedo_channels:
+            scratch.append(pltpu.VMEM((u_max, 32, 128), jnp.int32))
     scratch.append(pltpu.VMEM((3, K, LANES), jnp.float32))
     if albedo_channels:
         scratch.append(
@@ -1172,7 +1211,7 @@ def mesh_fused(block_array, batch, tile_params, fs, hp_steps=None,
     if spherical:
         scratch.append(pltpu.VMEM((4, GV, LANES), jnp.float32))
     scratch.append(pltpu.SemaphoreType.DMA(()))
-    if albedo_channels:
+    if albedo_channels and not albedo_combined:
         scratch.append(pltpu.SemaphoreType.DMA(()))
     scratch.append(pltpu.SMEM((2,), jnp.int32))
     out_rows = (OUT_ROWS_SPH if spherical else OUT_ROWS) + albedo_channels * GV
@@ -1182,7 +1221,7 @@ def mesh_fused(block_array, batch, tile_params, fs, hp_steps=None,
         pl.BlockSpec(memory_space=pltpu.ANY),
     ]
     operands = [block_array]
-    if albedo_channels:
+    if albedo_channels and not albedo_combined:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         operands.append(albedo_blocks)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1198,7 +1237,7 @@ def mesh_fused(block_array, batch, tile_params, fs, hp_steps=None,
     return pl.pallas_call(
         _make_mesh_kernel(spherical, origin_lod, ellipsoidal,
                           albedo_channels, albedo_bits, u_max, ablate, shade,
-                          alb_fast=albedo_fast),
+                          alb_fast=albedo_fast, alb_combined=albedo_combined),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((steps, out_rows, LANES), jnp.float32),
         interpret=interpret,

@@ -284,6 +284,11 @@ class StandardMaterial:
     emissive: tuple = (0.0, 0.0, 0.0)
     lights: tuple = (DirectionalLight(),)
     ambient: tuple = (0.05, 0.05, 0.05)
+    # Opaque terrains (the common case — the reference's own examples
+    # never read albedo alpha) can skip the alpha channel's unpack +
+    # resample in the fused kernel: colors come back RGB with alpha
+    # pinned to 1. Saves ~1/4 of the in-kernel albedo cost.
+    opaque_base_color: bool = False
 
     def __call__(self, ctx: ShadeContext):
         return (self.base_color or default_color)(ctx)

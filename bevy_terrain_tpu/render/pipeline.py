@@ -22,6 +22,7 @@ from functools import partial
 from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from bevy_terrain_tpu.config import TerrainConfig, TerrainViewConfig
@@ -106,8 +107,14 @@ def _extract_grid(raw, tiles, cfg):
 
 @partial(jax.jit, static_argnames=("cfg", "channels"))
 def _extract_colors(raw, cfg, channels):
-    """One-dispatch lazy color extraction (in-kernel-shaded rows)."""
-    return meshgen.fused_albedo_to_grid(raw, cfg, channels, 1.0)
+    """One-dispatch lazy color extraction (in-kernel-shaded rows).
+    Opaque materials shade 3 channels in-kernel; alpha pads to 1 here so
+    consumers always see RGBA."""
+    rgba = meshgen.fused_albedo_to_grid(raw, cfg, channels, 1.0)
+    if channels == 3:
+        rgba = jnp.concatenate(
+            [rgba, jnp.ones_like(rgba[..., :1])], axis=-1)
+    return rgba
 
 
 class Terrain:
@@ -642,7 +649,11 @@ class Terrain:
                                         None) == idx):
                         spec = kernel_shade_spec(mat, maxv_i)
                         if spec is not None:
-                            fused_shade = (spec, pc_i, pb_i)
+                            # opaque materials skip the alpha channel's
+                            # unpack + resample (alpha pins to 1 at color
+                            # extraction)
+                            pc_k = 3 if mat.opaque_base_color else pc_i
+                            fused_shade = (spec, pc_k, pb_i)
                 # positional args: pjit rejects kwargs with in_shardings
                 if frozen:
                     tiles, mesh, colors = self._step_grid_frozen(

@@ -428,6 +428,51 @@ class TestPackedAttachmentSampling:
         assert int(tiles_m.tile_count) == n and n > 0
         np.testing.assert_allclose(got[:n], want[:n], atol=2e-3)
 
+    def test_combined_blocks_and_opaque_channels(self, small_frame):
+        """(a) albedo_combined=True (heights rows 0:32 + packed albedo
+        rows 32:64 in ONE block array, one DMA per tile) must be bitwise
+        identical to the two-stream kernel. (b) An opaque material
+        (albedo_channels=3) reproduces the 4-channel run's RGB rows."""
+        model, vc, uniforms, plan, blocks = small_frame
+        cfg = _cfg(vc)
+        rng = np.random.default_rng(41)
+        chans = [
+            rng.integers(0, 256, blocks.shape).astype(np.uint32)
+            for _ in range(4)
+        ]
+        packed_np = chans[0].copy()
+        for c in range(1, 4):
+            packed_np |= chans[c] << (8 * c)
+        packed = jnp.asarray(packed_np.view(np.int32))
+        combined = jnp.concatenate(
+            [blocks, jnp.asarray(packed_np.view(np.int32))], axis=1)
+
+        tiles0 = refinement.refine_tiles(uniforms, cfg)
+        raw_s, tiles_s = meshgen.generate_mesh_fused(
+            tiles0, blocks, uniforms, cfg, plan, 65535.0, interpret=True,
+            albedo_blocks=packed, albedo_channels=4, albedo_bits=8,
+        )
+        raw_c, tiles_c = meshgen.generate_mesh_fused(
+            tiles0, combined, uniforms, cfg, plan, 65535.0, interpret=True,
+            albedo_channels=4, albedo_bits=8, albedo_combined=True,
+        )
+        n = int(tiles_s.tile_count)
+        assert n > 0 and int(tiles_c.tile_count) == n
+        np.testing.assert_array_equal(np.asarray(raw_c), np.asarray(raw_s))
+
+        raw_o, tiles_o = meshgen.generate_mesh_fused(
+            tiles0, combined, uniforms, cfg, plan, 65535.0, interpret=True,
+            albedo_channels=3, albedo_bits=8, albedo_combined=True,
+        )
+        assert int(tiles_o.tile_count) == n
+        G1 = cfg.grid_size + 1
+        base = raw_o.shape[1] - 3 * G1
+        np.testing.assert_allclose(
+            np.asarray(raw_o[:, base:]),
+            np.asarray(raw_s[:, base:base + 3 * G1]), atol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(raw_o[:, :base]), np.asarray(raw_s[:, :base]))
+
     def test_rg16_packed_matches_per_channel(self, small_frame):
         """2 x u16 packing (Rg16): 16-bit shift/mask unpack path, packed
         fused kernel vs two per-channel passes."""

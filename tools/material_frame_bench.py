@@ -158,7 +158,35 @@ def main() -> None:
         )
         return tiles.tile_count, colors
 
+    # combined block store: heights rows 0:32, packed albedo rows 32:64 —
+    # ONE 32 KB DMA per tile serves the whole material frame
+    combined_blocks = jax.device_put(
+        jnp.concatenate(
+            [jnp.asarray(np.asarray(blocks)),
+             jnp.asarray(packed_np.view(np.int32))], axis=1),
+        fmt,
+    )
+
     shade_spec = kernel_shade_spec(material, 255.0)
+
+    def merged_combined_shaded(cb, u):
+        tiles = refinement.refine_tiles(u, cfg)
+        raw, tiles = meshgen.generate_mesh_fused(
+            tiles, cb, u, cfg, plan, 65535.0,
+            albedo_channels=4, albedo_bits=8, albedo_combined=True,
+            shade_spec=shade_spec,
+        )
+        return tiles.tile_count, raw
+
+    def merged_combined_opaque(cb, u):
+        # opaque material: alpha never read -> 3-channel unpack/resample
+        tiles = refinement.refine_tiles(u, cfg)
+        raw, tiles = meshgen.generate_mesh_fused(
+            tiles, cb, u, cfg, plan, 65535.0,
+            albedo_channels=3, albedo_bits=8, albedo_combined=True,
+            shade_spec=shade_spec,
+        )
+        return tiles.tile_count, raw
 
     def merged_shaded(block_array, ap, u):
         # the ENTIRE material frame in one kernel: mesh + packed RGBA +
@@ -180,6 +208,8 @@ def main() -> None:
     jmerged = jax.jit(merged, in_shardings=(fmt, fmt, None))
     jmfull = jax.jit(merged_full, in_shardings=(fmt, fmt, None))
     jmshade = jax.jit(merged_shaded, in_shardings=(fmt, fmt, None))
+    jmcomb = jax.jit(merged_combined_shaded, in_shardings=(fmt, None))
+    jmopaq = jax.jit(merged_combined_opaque, in_shardings=(fmt, None))
     (c0, _), (c1, colors) = (
         jax.block_until_ready(jmesh(blocks, u1)),
         jax.block_until_ready(jfull(blocks, albedo_packed, u1)),
@@ -199,13 +229,22 @@ def main() -> None:
     _, cfull = jax.block_until_ready(jmfull(blocks, albedo_packed, u1))
     # in-kernel shade parity vs the staged shade, live tiles only
     cs, raw_s = jax.block_until_ready(jmshade(blocks, albedo_packed, u1))
+    cc, raw_cb = jax.block_until_ready(jmcomb(combined_blocks, u1))
+    cerr = float(jnp.max(jnp.abs(raw_cb - raw_s)))
+    co, raw_op = jax.block_until_ready(jmopaq(combined_blocks, u1))
+    # opaque parity: RGB rows match the 4-channel run's RGB rows
+    G1 = cfg.grid_size + 1
+    base_rows = raw_op.shape[1] - 3 * G1
+    oerr = float(jnp.max(jnp.abs(
+        raw_op[:, base_rows:] - raw_s[:, base_rows:base_rows + 3 * G1])))
+    assert int(co) == int(cs)
     from bevy_terrain_tpu.ops.meshgen import fused_albedo_to_grid
 
     shaded_grid = fused_albedo_to_grid(raw_s, cfg, 4, 1.0)
     serr = float(jnp.max(jnp.abs(
         shaded_grid[:nlive] - cfull[:nlive]
     )))
-    assert int(c0) == int(c1) == nlive == int(cs)
+    assert int(c0) == int(c1) == nlive == int(cs) == int(cc)
     t_mesh = device_time_ms(jmesh, blocks, u1, label="mat_mesh")
     t_grid = device_time_ms(jgrid, blocks, u1, label="mat_grid")
     t_rgba = device_time_ms(jrgba, blocks, albedo_blocks, u1, label="mat_rgba")
@@ -218,6 +257,10 @@ def main() -> None:
                              label="mat_merged_full")
     t_mshade = device_time_ms(jmshade, blocks, albedo_packed, u1,
                               label="mat_merged_shaded")
+    t_mcomb = device_time_ms(jmcomb, combined_blocks, u1,
+                             label="mat_merged_combined")
+    t_mopaq = device_time_ms(jmopaq, combined_blocks, u1,
+                             label="mat_merged_opaque")
     print(
         f"mesh-only frame:        {t_mesh * 1e3:7.1f} us ({int(c0)} tiles)\n"
         f"+ fused_to_grid:        {t_grid * 1e3:7.1f} us "
@@ -236,7 +279,13 @@ def main() -> None:
         f"MERGED + PBR = full:    {t_mfull * 1e3:7.1f} us\n"
         f"ONE-KERNEL material:    {t_mshade * 1e3:7.1f} us "
         f"(in-kernel PBR; parity vs staged shade {serr:.2e}) "
-        f"(target <= 1500 us at capacity {cfg.tile_capacity})"
+        f"(target <= 1500 us at capacity {cfg.tile_capacity})\n"
+        f"ONE-KERNEL + 1-DMA:     {t_mcomb * 1e3:7.1f} us "
+        f"(combined height+albedo blocks, one 32 KB DMA/tile; "
+        f"parity vs two-stream {cerr:.2e})\n"
+        f"ONE-KERNEL opaque:      {t_mopaq * 1e3:7.1f} us "
+        f"(opaque_base_color: 3-channel unpack, alpha pinned 1; "
+        f"RGB parity {oerr:.2e})"
     )
 
 
