@@ -258,6 +258,16 @@ def generate_mesh_fused(
     path is the kernel's near-field position source, as in the flagship
     Earth config).
 
+    ``albedo_fast=True`` (the default since r04) resamples packed
+    channels of <= 8 bits with bf16 tent weights / texel values (f32 MXU
+    accumulation, no per-channel mean-centering). Byte values are exact
+    in bf16; the filtered result differs from the exact-f32 path by at
+    most ~1 LSB of 8-bit color (measured max 0.89, mean 0.17 LSB) —
+    sampler-grade for color, same class as GPU bilinear units' ~9-bit
+    weights. If a packed <= 8-bit channel carries data where exact-f32
+    filtering matters (IDs, masks), pass ``albedo_fast=False``; 16-bit
+    channels (Rg16) always take the exact path regardless of this flag.
+
     Returns (raw, sorted_tiles).
     """
     from bevy_terrain_tpu.ops import pallas_kernels as pk

@@ -82,7 +82,8 @@ class TerrainFrameOutput:
         if self._colors is None and self._shaded_channels:
             # in-kernel shade: colors ride the raw tensor's trailing rows
             self._colors = _extract_colors(
-                self._raw, self._cfg, self._shaded_channels
+                self._raw, self.tiles.tile_count, self._cfg,
+                self._shaded_channels,
             )
         return self._colors
 
@@ -106,14 +107,24 @@ def _extract_grid(raw, tiles, cfg):
 
 
 @partial(jax.jit, static_argnames=("cfg", "channels"))
-def _extract_colors(raw, cfg, channels):
+def _extract_colors(raw, tile_count, cfg, channels):
     """One-dispatch lazy color extraction (in-kernel-shaded rows).
-    Opaque materials shade 3 channels in-kernel; alpha pads to 1 here so
-    consumers always see RGBA."""
+
+    Opaque materials shade 3 channels in-kernel; alpha pads here so
+    consumers always see RGBA. The pad is masked by tile liveness so
+    dead-capacity slots report alpha=0 exactly like the 4-channel
+    in-kernel path (pallas_kernels.py masks alpha by valid*live). One
+    residual delta vs 4-channel: tiles that are live but missing atlas
+    data (per-lane ``valid``=0) pad alpha=1 in opaque mode — their RGB is
+    already masked to 0 by the kernel; use the 4-channel material if
+    alpha must carry per-lane coverage for such tiles."""
     rgba = meshgen.fused_albedo_to_grid(raw, cfg, channels, 1.0)
     if channels == 3:
-        rgba = jnp.concatenate(
-            [rgba, jnp.ones_like(rgba[..., :1])], axis=-1)
+        live = (jnp.arange(cfg.tile_capacity, dtype=jnp.int32)
+                < tile_count).astype(rgba.dtype)
+        alpha = jnp.broadcast_to(
+            live[:, None, None, None], rgba[..., :1].shape)
+        rgba = jnp.concatenate([rgba, alpha], axis=-1)
     return rgba
 
 

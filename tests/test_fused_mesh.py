@@ -467,11 +467,48 @@ class TestPackedAttachmentSampling:
         assert int(tiles_o.tile_count) == n
         G1 = cfg.grid_size + 1
         base = raw_o.shape[1] - 3 * G1
-        np.testing.assert_allclose(
+        # BITWISE: the docs claim the opaque run's RGB is bit-identical
+        # to the 4-channel run (the alpha channel's dots are simply
+        # skipped); pin that claim, not just near-equality
+        np.testing.assert_array_equal(
             np.asarray(raw_o[:, base:]),
-            np.asarray(raw_s[:, base:base + 3 * G1]), atol=1e-5)
+            np.asarray(raw_s[:, base:base + 3 * G1]))
         np.testing.assert_array_equal(
             np.asarray(raw_o[:, :base]), np.asarray(raw_s[:, :base]))
+
+    def test_opaque_alpha_pad_masks_dead_capacity(self, small_frame):
+        """The opaque (3-channel) color extraction pads alpha per LIVE
+        tile, matching the 4-channel in-kernel path's valid*live alpha
+        masking for dead-capacity slots (render/pipeline._extract_colors);
+        the residual live-but-invalid delta is documented there."""
+        from bevy_terrain_tpu.render.pipeline import TerrainFrameOutput
+
+        model, vc, uniforms, plan, blocks = small_frame
+        cfg = _cfg(vc)
+        rng = np.random.default_rng(43)
+        packed_np = rng.integers(0, 2**32, blocks.shape, dtype=np.uint64)
+        combined = jnp.concatenate(
+            [blocks, jnp.asarray(packed_np.astype(np.uint32).view(np.int32))],
+            axis=1)
+
+        tiles0 = refinement.refine_tiles(uniforms, cfg)
+        raw_o, tiles_o = meshgen.generate_mesh_fused(
+            tiles0, combined, uniforms, cfg, plan, 65535.0, interpret=True,
+            albedo_channels=3, albedo_bits=8, albedo_combined=True,
+        )
+        # this fixture's view saturates capacity; report a truncated
+        # tile_count so the frame has a dead-capacity tail for the alpha
+        # pad to mask (the masking keys off tile_count, not buffer rows)
+        n = int(tiles_o.tile_count) - 10
+        assert 0 < n < cfg.tile_capacity  # needs dead-capacity tail
+        out = TerrainFrameOutput(
+            tiles=tiles_o._replace(tile_count=jnp.int32(n)),
+            raw=raw_o, cfg=cfg, shaded_channels=3)
+        c = np.asarray(out.colors)
+        G1 = cfg.grid_size + 1
+        assert c.shape == (cfg.tile_capacity, G1, G1, 4)
+        np.testing.assert_array_equal(c[:n, ..., 3], 1.0)
+        np.testing.assert_array_equal(c[n:, ..., 3], 0.0)
 
     def test_rg16_packed_matches_per_channel(self, small_frame):
         """2 x u16 packing (Rg16): 16-bit shift/mask unpack path, packed
