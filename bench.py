@@ -21,6 +21,45 @@ import time
 import numpy as np
 
 
+def _sanitize_jax_cache(cache_dir) -> None:
+    """Delete persistent-cache entries that no longer decompress.
+
+    A bench run killed mid-write (driver timeout) leaves a truncated
+    zstd stream behind; JAX's next cache READ of that entry reaches
+    ``backend.deserialize_executable`` with garbage and has segfaulted
+    this process outright. Entries are zstd/zlib-compressed blobs
+    (jax._src.compilation_cache.compress_executable), so a cheap full
+    decompression check separates the healthy from the truncated.
+    """
+    try:
+        import zstandard
+    except ImportError:
+        zstandard = None
+    import zlib
+
+    try:
+        entries = list(cache_dir.iterdir())
+    except OSError:
+        return
+    for f in entries:
+        if not f.is_file():
+            continue
+        try:
+            data = f.read_bytes()
+            if zstandard is not None and data[:4] == b"\x28\xb5\x2f\xfd":
+                zstandard.ZstdDecompressor().decompress(
+                    data, max_output_size=1 << 31)
+            else:
+                zlib.decompress(data)
+        except Exception:
+            try:
+                f.unlink()
+                print(f"# pruned corrupt compile-cache entry {f.name}",
+                      file=sys.stderr)
+            except OSError:
+                pass
+
+
 def main() -> None:
     from functools import partial
     from pathlib import Path
@@ -30,9 +69,9 @@ def main() -> None:
     # Persistent compilation cache: TPU compiles for the 8k^2 frame step run
     # multi-minute cold; cache them on disk so repeated driver runs (and any
     # timeout-retry) skip straight to measurement.
-    jax.config.update(
-        "jax_compilation_cache_dir", str(Path(__file__).resolve().parent / ".jax_cache")
-    )
+    cache_dir = Path(__file__).resolve().parent / ".jax_cache"
+    _sanitize_jax_cache(cache_dir)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp

@@ -27,6 +27,13 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
+    # BT_DISABLE_NATIVE=1 forces the pure-Python fallbacks everywhere the
+    # native runtime is optional (residency, IO pool, scan, Taylor,
+    # bilinear taps). Debugging/bisection switch: lets any fault be
+    # attributed to (or cleared of) the C++ layer without a rebuild.
+    import os
+    if os.environ.get("BT_DISABLE_NATIVE") == "1":
+        return None
     if not _LIB_PATH.exists():
         try:
             subprocess.run(

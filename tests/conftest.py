@@ -24,3 +24,14 @@ import jax  # noqa: E402
 # checks (tests/test_goldens.py::TestTpuFusedGoldens) can run on the chip
 if os.environ.get("BT_TPU_TESTS") != "1":
     jax.config.update("jax_platforms", "cpu")
+
+# Keep the persistent compilation cache OFF for the whole test session.
+# test_entrypoints runs bench.main(), which points the cache at
+# .jax_cache for the driver's sake; with hundreds of CPU executables in
+# one process, PJRT's LoadedExecutable.serialize() has segfaulted on a
+# later cache write (observed on the multi-view shard_map step), killing
+# the run. Tests compile small CPU programs — the cache buys nothing
+# here, and bench.main only sets the cache *dir*, so this enable flag
+# stays authoritative. (Live-TPU goldens never used JAX's cache either:
+# the axon backend routes compiles through its own sidechannel.)
+jax.config.update("jax_enable_compilation_cache", False)
