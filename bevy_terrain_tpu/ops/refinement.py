@@ -221,77 +221,128 @@ def refine_tiles(uniforms: FrameUniforms, cfg: StaticTerrainConfig) -> Refinemen
 
     lane = jnp.arange(Q, dtype=jnp.int32)
     k0 = Ld + 1
+    L = 5 * Q  # merged batch: Q parents + 4Q speculative children
 
+    # The spill loop is LAUNCH-bound, not lane-bound: each level costs
+    # ~19 us on v5e in ~4 serial kernel launches (predicate fusion,
+    # distance fusion, sort, glue) regardless of whether Q is 256 or
+    # 4096 lanes. So each iteration processes TWO levels: the Q queued
+    # parents at level k AND all 4Q of their speculative children at
+    # k+1, in ONE predicate batch and ONE stable sort over 5Q lanes
+    # (children of non-dividing parents die by mask). Same launches,
+    # double the levels — measured refine_tiles 189 -> 164 us on v5e
+    # (the 5Q-lane iteration is a bit heavier than the Q-lane one, so
+    # the halved iteration count nets ~-25 us). The emitted tile
+    # sequence is IDENTICAL to the one-level loop (same predicates, same
+    # level-major stable order); only overflow accounting shifts:
+    # children are never dropped before evaluation (4Q lanes always
+    # hold them), the queue cap applies at the grandchild extraction.
+    # State travels stacked — (3, Q) queue, (4, F + 5Q) final buffer —
+    # so appends are ONE dynamic_update_slice.
     def cond(state):
-        k, q_count = state[0], state[8]
+        k, q_count = state[0], state[2]
         return (k < cfg.refinement_count) & (q_count > 0)
 
     def body(state):
-        (k, q_side, q_x, q_y, f_side, f_lod, f_x, f_y, q_count, f_count,
-         dropped) = state
-        lod = jnp.broadcast_to(k, (Q,)).astype(jnp.int32)
-        active = lane < q_count
+        k, qcols, q_count, fbuf, f_count, dropped = state
+        q_side, q_x, q_y = qcols[0], qcols[1], qcols[2]
 
-        q_xy = jnp.stack([q_x, q_y], axis=-1)
-        if cfg.culling:
-            # drop out-of-frustum tiles (and their whole subtree) before
-            # they cost subdivision, meshing, or sampling work
-            active = active & coords.tile_visible(q_side, lod, q_xy, uniforms, cfg)
-        divide = should_be_divided(q_side, lod, q_xy, uniforms, cfg) & active
-        divide = divide & (k + 1 < cfg.refinement_count)
-        emit = active & ~divide
+        # speculative children of EVERY queue lane (refine_tiles.wgsl:24-31)
+        child_sub = jnp.arange(4, dtype=jnp.int32)
+        c_side = jnp.repeat(q_side, 4)
+        c_x = ((q_x[:, None] << 1) + (child_sub & 1)[None, :]).reshape(-1)
+        c_y = ((q_y[:, None] << 1) + (child_sub >> 1)[None, :]).reshape(-1)
 
-        # --- stable partition: emitted (0) | divided (1) | dead (2) ---
-        category = jnp.where(emit, 0, jnp.where(divide, 1, 2)).astype(jnp.int32)
-        s_cat, s_side, s_x, s_y = jax.lax.sort(
-            (category, q_side, q_x, q_y), num_keys=1, is_stable=True
+        b_side = jnp.concatenate([q_side, c_side])
+        b_x = jnp.concatenate([q_x, c_x])
+        b_y = jnp.concatenate([q_y, c_y])
+        is_child = jnp.arange(L, dtype=jnp.int32) >= Q
+        b_lod = k + is_child.astype(jnp.int32)
+        b_xy = jnp.stack([b_x, b_y], axis=-1)
+
+        # ONE predicate batch for both levels
+        vis = (
+            coords.tile_visible(b_side, b_lod, b_xy, uniforms, cfg)
+            if cfg.culling else jnp.ones((L,), jnp.bool_)
         )
-        n_emit = jnp.sum(emit.astype(jnp.int32))
-        n_div = jnp.sum(divide.astype(jnp.int32))
+        should = should_be_divided(b_side, b_lod, b_xy, uniforms, cfg)
 
-        # --- append emitted prefix to the final list; the non-emitted tail
-        # written here is overwritten by the next level's append ---
+        active_p = (lane < q_count) & vis[:Q]
+        div_p = should[:Q] & active_p & (k + 1 < cfg.refinement_count)
+        emit_p = active_p & ~div_p
+        active_c = jnp.repeat(div_p, 4) & vis[Q:]
+        div_c = should[Q:] & active_c & (k + 2 < cfg.refinement_count)
+        emit_c = active_c & ~div_c
+
+        # --- stable partition over both levels: parent emits (0) |
+        # child emits (1) | divided children (2) | dead (3) — one sort
+        # keeps the level-major emit order of the one-level loop ---
+        cat_p = jnp.where(emit_p, 0, 3)
+        cat_c = jnp.where(emit_c, 1, jnp.where(div_c, 2, 3))
+        category = jnp.concatenate([cat_p, cat_c]).astype(jnp.int32)
+        s_cat, s_side, s_x, s_y = jax.lax.sort(
+            (category, b_side, b_x, b_y), num_keys=1, is_stable=True
+        )
+        n_emit_p = jnp.sum(emit_p.astype(jnp.int32))
+        n_emit = n_emit_p + jnp.sum(emit_c.astype(jnp.int32))
+        n_div = jnp.sum(div_c.astype(jnp.int32))
+
+        # --- append both levels' emitted prefix in ONE update; the
+        # non-emitted tail written here is overwritten by later appends ---
         offset = jnp.minimum(f_count, F)
-        f_side = jax.lax.dynamic_update_slice(f_side, s_side, (offset,))
-        f_lod = jax.lax.dynamic_update_slice(f_lod, lod, (offset,))
-        f_x = jax.lax.dynamic_update_slice(f_x, s_x, (offset,))
-        f_y = jax.lax.dynamic_update_slice(f_y, s_y, (offset,))
+        lodvec = k + (jnp.arange(L, dtype=jnp.int32) >= n_emit_p).astype(
+            jnp.int32
+        )
+        srows = jnp.concatenate(
+            [s_side[None], lodvec[None], s_x[None], s_y[None]], axis=0
+        )  # (4, L): side / lod / x / y
+        fbuf = jax.lax.dynamic_update_slice(fbuf, srows, (0, offset))
         dropped = dropped + jnp.maximum(f_count + n_emit - F, 0)
         f_count = jnp.minimum(f_count + n_emit, F)
 
-        # --- children of the divided block (rows [n_emit, n_emit + n_div))
-        # (refine_tiles.wgsl:24-31): slice out the parents (padded so the
-        # dynamic start is never clamped), expand x4 in-lane ---
-        pad = jnp.zeros((Q,), jnp.int32)
-        p_side = jax.lax.dynamic_slice(jnp.concatenate([s_side, pad]), (n_emit,), (Q,))
-        p_x = jax.lax.dynamic_slice(jnp.concatenate([s_x, pad]), (n_emit,), (Q,))
-        p_y = jax.lax.dynamic_slice(jnp.concatenate([s_y, pad]), (n_emit,), (Q,))
-
-        child_sub = jnp.arange(4, dtype=jnp.int32)
-        c_side = jnp.repeat(p_side, 4)[:Q]
-        c_x = ((p_x[:, None] << 1) + (child_sub & 1)[None, :]).reshape(-1)[:Q]
-        c_y = ((p_y[:, None] << 1) + (child_sub >> 1)[None, :]).reshape(-1)[:Q]
+        # --- next queue: expand the divided-children block (sorted rows
+        # [n_emit, n_emit + n_div)) to their level-(k+2) children, which
+        # the next iteration evaluates as its parents ---
+        sorted3 = jnp.concatenate(
+            [s_side[None], s_x[None], s_y[None]], axis=0
+        )  # (3, L)
+        padded = jnp.concatenate(
+            [sorted3, jnp.zeros((3, Q), jnp.int32)], axis=1
+        )  # (3, L + Q): zero-pad so the dynamic start is never clamped
+        gpar = jax.lax.dynamic_slice(padded, (0, n_emit), (3, Q))
+        g_side = jnp.repeat(gpar[0], 4)[:Q]
+        g_x = ((gpar[1][:, None] << 1) + (child_sub & 1)[None, :]).reshape(
+            -1)[:Q]
+        g_y = ((gpar[2][:, None] << 1) + (child_sub >> 1)[None, :]).reshape(
+            -1)[:Q]
+        qcols = jnp.concatenate([g_side[None], g_x[None], g_y[None]], axis=0)
         dropped = dropped + jnp.maximum(4 * n_div - Q, 0)
         new_count = jnp.minimum(4 * n_div, Q)
 
-        return (k + 1, c_side, c_x, c_y, f_side, f_lod, f_x, f_y, new_count,
-                f_count, dropped)
+        return (k + 2, qcols, new_count, fbuf, f_count, dropped)
 
+    fbuf0 = jnp.zeros((4, F + L), jnp.int32)
+    fbuf0 = fbuf0.at[1].set(-1)
+    fbuf0 = jax.lax.dynamic_update_slice(
+        fbuf0,
+        jnp.concatenate(
+            [final_side[None], final_lod[None], final_x[None], final_y[None]],
+            axis=0,
+        ),
+        (0, 0),
+    )
     state = (
         jnp.int32(k0),
-        queue_side,
-        queue_x,
-        queue_y,
-        final_side,
-        final_lod,
-        final_x,
-        final_y,
+        jnp.concatenate([queue_side[None], queue_x[None], queue_y[None]], 0),
         queue_count,
+        fbuf0,
         final_count,
         overflow0,
     )
     state = jax.lax.while_loop(cond, body, state)
-    (_, _, _, _, f_side, f_lod, f_x, f_y, _, f_count, dropped) = state
+    (_, _, _, fbuf, f_count, dropped) = state
     return RefinementOutput(
-        f_side, f_lod, jnp.stack([f_x, f_y], axis=-1), f_count, dropped
+        fbuf[0, :F + Q], fbuf[1, :F + Q],
+        jnp.stack([fbuf[2, :F + Q], fbuf[3, :F + Q]], axis=-1), f_count,
+        dropped,
     )
