@@ -35,3 +35,33 @@ if os.environ.get("BT_TPU_TESTS") != "1":
 # stays authoritative. (Live-TPU goldens never used JAX's cache either:
 # the axon backend routes compiles through its own sidechannel.)
 jax.config.update("jax_enable_compilation_cache", False)
+
+# --- VMA guard -------------------------------------------------------------
+# Root cause of the intermittent late-suite segfaults (r05 diagnosis):
+# every live XLA:CPU executable holds ~10 small mmap'd JIT-code regions,
+# and a full-suite run accumulates executables until the process hits the
+# kernel's per-process mapping limit (vm.max_map_count, default 65530 —
+# observed 45k and climbing minutes before the crash). When mmap starts
+# failing, XLA's code emission segfaults instead of erroring. Measured:
+# releasing executables (del / jax.clear_caches()) returns the mappings.
+# So: after each test, if the map count nears the limit, drop JAX's
+# global caches — later tests recompile (slower, correct) instead of
+# crashing the whole run.
+
+_VMA_SOFT_LIMIT = 40_000
+
+
+def _map_count() -> int:
+    try:
+        with open("/proc/self/maps", "rb") as f:
+            return sum(1 for _ in f)
+    except OSError:  # non-Linux fallback: never trigger
+        return 0
+
+
+def pytest_runtest_teardown(item):
+    if _map_count() > _VMA_SOFT_LIMIT:
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
