@@ -40,6 +40,11 @@ from bevy_terrain_tpu.render.material import (  # noqa: E402
     albedo_material,
     gradient_material,
 )
+from bevy_terrain_tpu.render.raster import (  # noqa: E402
+    RasterOutput,
+    rasterize_grid,
+    render_view,
+)
 from bevy_terrain_tpu.preprocess import PreprocessDataset, Preprocessor, SphericalDataset  # noqa: E402
 from bevy_terrain_tpu.debug import DebugTerrain  # noqa: E402
 
@@ -58,8 +63,11 @@ __all__ = [
     "gradient_material",
     "PreprocessDataset",
     "Preprocessor",
+    "RasterOutput",
     "SphericalDataset",
     "Terrain",
+    "rasterize_grid",
+    "render_view",
     "TerrainConfig",
     "TerrainFrameOutput",
     "TerrainModel",

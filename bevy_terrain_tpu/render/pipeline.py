@@ -167,6 +167,7 @@ class Terrain:
         # shading config: None = vertex buffers only; set via set_shading()
         self._shade_opts = None
         self._last_uniforms = {}
+        self._last_frame_cfgs = {}
         self._last_cfgs = {}
         self._adaptive = {}
         # overflow guard bookkeeping (see _spike_suspected / update):
@@ -750,8 +751,26 @@ class Terrain:
                 outputs[view_id] = TerrainFrameOutput(
                     tiles=tiles, mesh=mesh, colors=colors)
             self._last_uniforms[view_id] = uniforms
+            self._last_frame_cfgs[view_id] = cfg_s
         self.frame_index += 1
         return outputs
+
+    def frame_inputs(self, view_id):
+        """(FrameUniforms, StaticTerrainConfig) of the view's last frame.
+
+        The inputs an out-of-pipeline consumer needs alongside the frame
+        output — e.g. the rasterizer (``render.raster.render_view``),
+        custom shading, or debug tooling. The config is the one the frame
+        actually ran with (adaptive-capacity rungs included), so its
+        ``tile_capacity`` matches the output tensors' leading dim. Call
+        after ``update()``."""
+        u = self._last_uniforms[view_id]
+        cfg = self._last_frame_cfgs[view_id]
+        if hasattr(u, "ndim"):  # grid path stores the packed blob
+            u = unpack_frame_uniforms(
+                u, cfg.side_count, cfg.lod_count, cfg.tree_size
+            )
+        return u, cfg
 
     def query_heights(self, view_id, positions):
         """Batched DEVICE-side terrain height queries (collision/physics/
