@@ -755,6 +755,70 @@ class Terrain:
         self.frame_index += 1
         return outputs
 
+    def render_image(self, view_id, out, view_proj, width, height,
+                     pixel_texturing=None, **kw):
+        """Rasterize a frame output to an (H, W, 4) image — the per-pixel
+        fragment stage (render/raster.py) wired from this terrain's
+        state: the view's last uniforms/config, the current shading
+        material and debug view, and (optionally) TRUE per-pixel
+        deferred texturing.
+
+        ``pixel_texturing``: attachment index to sample per pixel with
+        analytic screen-derivative mip selection (the reference's
+        textureSampleGrad path, fragment.wgsl:35-49). Defaults to the
+        material's albedo attachment when the current shading samples
+        exactly one; pass ``False`` to force interpolated vertex colors.
+
+        Returns ``(image, RasterOutput)``.
+        """
+        from bevy_terrain_tpu.render.raster import render_view
+
+        uniforms, cfg = self.frame_inputs(view_id)
+        material = self.shading_fn
+        lighting, debug_view = True, None
+        if self._shade_opts is not None:
+            lighting, debug_view = self._shade_opts[0], self._shade_opts[1]
+        if pixel_texturing is None:
+            idx = getattr(
+                getattr(material, "base_color", None), "attachment_index",
+                None,
+            )
+            if (idx is not None and self._shade_opts is not None
+                    and self._shade_opts[4] == (idx,)):
+                pixel_texturing = idx
+        if pixel_texturing not in (None, False):
+            att = self.atlas.attachments[pixel_texturing]
+            kw.setdefault(
+                "pixel_attachment",
+                (
+                    tuple(att.slabs), att.config.scale, att.config.offset,
+                    att.config.format.max_value, att.config.texture_size,
+                ),
+            )
+        kw.setdefault("material", material)
+        kw.setdefault("lighting", lighting)
+        kw.setdefault("debug_view", debug_view)
+        # vertex-sampled attachments for paths that evaluate the material
+        # per vertex (vertex shade mode / debug views / no per-pixel tex)
+        needs = getattr(
+            getattr(material, "base_color", None), "attachment_index", None
+        )
+        vertex_path = (
+            kw.get("debug_view") is not None
+            or kw.get("shade_mode", "pixel") == "vertex"
+            or "pixel_attachment" not in kw
+        )
+        if needs is not None and vertex_path and "attachment_samples" not in kw:
+            kw["attachment_samples"] = {
+                needs: self.sample_attachment_grid(
+                    view_id, out, attachment_index=needs
+                )
+            }
+        return render_view(
+            out.mesh, out.tiles, uniforms, cfg, view_proj, width, height,
+            **kw,
+        )
+
     def frame_inputs(self, view_id):
         """(FrameUniforms, StaticTerrainConfig) of the view's last frame.
 

@@ -507,6 +507,7 @@ def render_view(
     texture_size: int = 512,
     background=(0.0, 0.0, 0.0, 0.0),
     skirts: bool = True,
+    pixel_attachment: Optional[tuple] = None,
     **raster_knobs,
 ):
     """Rasterize one terrain view to an (H, W, 4) image.
@@ -522,6 +523,12 @@ def render_view(
     ``skirts=True`` (default) rasterizes each tile with a downward edge
     skirt (:func:`add_skirts`) so residual cross-tile height deltas
     inside the engine's documented envelope can't open pinholes.
+
+    ``pixel_attachment=(slabs, scale, offset, max_value, tex_size)``
+    switches the material's base color to TRUE per-pixel deferred
+    texturing: :func:`sample_attachment_pixel` with analytic screen
+    derivatives — the reference's textureSampleGrad filtering, per
+    pixel (only meaningful with ``shade_mode="pixel"``).
 
     Returns ``(image, RasterOutput)``; compose/inspect the aux buffers
     (depth, tri_id, counters) as needed. Works under jit except for the
@@ -561,8 +568,21 @@ def render_view(
         cfg=cfg, texture_size=texture_size,
         attachment_samples=attachment_samples,
     )
-    base_v = (material or mat.default_color)(ctx)
-    base_p = interpolate(raster, base_v)
+    if pixel_attachment is not None:
+        slabs, a_scale, a_offset, a_maxv, a_tex = pixel_attachment
+        base_p = sample_attachment_pixel(
+            raster, mesh, tiles, uniforms, cfg, slabs, a_scale, a_offset,
+            a_maxv, a_tex, view_proj=view_proj, width=width, height=height,
+        )
+        if base_p.shape[-1] < 4:
+            base_p = jnp.concatenate(
+                [base_p] + [jnp.ones_like(base_p[..., :1])]
+                * (4 - base_p.shape[-1]),
+                axis=-1,
+            )
+    else:
+        base_v = (material or mat.default_color)(ctx)
+        base_p = interpolate(raster, base_v)
     n_p = interpolate(raster, normals_v)
     n_p = n_p / jnp.maximum(jnp.linalg.norm(n_p, axis=-1, keepdims=True), 1e-8)
     pos_p = interpolate(raster, mesh.positions)
@@ -585,6 +605,137 @@ def render_view(
         img = base_p
     img = jnp.where(raster.covered[..., None], img, bg)
     return img, raster
+
+
+def pixel_uv_and_grads(raster: RasterOutput, mesh, view_proj, width, height):
+    """Per-pixel morphed tile uv + ANALYTIC screen-space derivatives.
+
+    The reference's fragment stage gets duv/dx, duv/dy from the GPU's
+    quad derivatives and feeds textureSampleGrad
+    (fragment.wgsl:35-49, attachments.wgsl:12-24). Here the winning
+    triangle's projective interpolation u(x, y) = N/D (N = sum u_i L_i
+    / w_i, D = sum L_i / w_i over the affine barycentrics L_i) has a
+    closed-form gradient — dL_i/dx = a_i / 2A is constant per triangle —
+    so the derivatives are exact per pixel, no quad neighborhoods
+    needed. Returns (uv, duv_dx, duv_dy), each (H, W, 2), zero outside
+    coverage.
+    """
+    flat_uv = mesh.uvs.reshape(-1, 2)
+    sx, sy, _, w = _project(
+        mesh.positions.reshape(-1, 3), view_proj, width, height
+    )
+    vids = raster.vert_idx  # (H, W, 3)
+    uv3 = flat_uv[vids]  # (H, W, 3, 2)
+    x3, y3, w3 = sx[vids], sy[vids], w[vids]
+    pxc = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
+    pyc = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
+
+    # affine barycentric L_i via the edge opposite vertex i (cyclic)
+    def edge(i):
+        j, k = (i + 1) % 3, (i + 2) % 3
+        e = (x3[..., k] - x3[..., j]) * (pyc - y3[..., j]) - (
+            y3[..., k] - y3[..., j]
+        ) * (pxc - x3[..., j])
+        a = -(y3[..., k] - y3[..., j])
+        b = x3[..., k] - x3[..., j]
+        return e, a, b
+
+    e0, a0, b0 = edge(0)
+    e1, a1, b1 = edge(1)
+    e2, a2, b2 = edge(2)
+    two_a = e0 + e1 + e2  # constant per triangle
+    two_a = jnp.where(jnp.abs(two_a) < 1e-20, 1e-20, two_a)
+    L = jnp.stack([e0, e1, e2], -1) / two_a[..., None]  # (H, W, 3)
+    dLdx = jnp.stack([a0, a1, a2], -1) / two_a[..., None]
+    dLdy = jnp.stack([b0, b1, b2], -1) / two_a[..., None]
+
+    inv_w = 1.0 / jnp.where(jnp.abs(w3) < 1e-12, 1e-12, w3)  # (H, W, 3)
+    D = jnp.sum(L * inv_w, -1, keepdims=True)
+    D = jnp.where(jnp.abs(D) < 1e-20, 1e-20, D)
+    N = jnp.sum(uv3 * (L * inv_w)[..., None], -2)  # (H, W, 2)
+    uv = N / D
+    dDdx = jnp.sum(dLdx * inv_w, -1, keepdims=True)
+    dDdy = jnp.sum(dLdy * inv_w, -1, keepdims=True)
+    dNdx = jnp.sum(uv3 * (dLdx * inv_w)[..., None], -2)
+    dNdy = jnp.sum(uv3 * (dLdy * inv_w)[..., None], -2)
+    duv_dx = (dNdx - uv * dDdx) / D
+    duv_dy = (dNdy - uv * dDdy) / D
+    m = raster.covered[..., None]
+    return (
+        jnp.where(m, uv, 0.0),
+        jnp.where(m, duv_dx, 0.0),
+        jnp.where(m, duv_dy, 0.0),
+    )
+
+
+def sample_attachment_pixel(
+    raster: RasterOutput,
+    mesh,
+    tiles,
+    uniforms,
+    cfg,
+    slabs,
+    scale: float,
+    offset: float,
+    max_value: float,
+    texture_size: int,
+    view_proj=None,
+    width: int | None = None,
+    height: int | None = None,
+):
+    """Per-pixel attachment sampling with screen-derivative mip selection
+    — the reference's exact per-fragment path (fragment.wgsl:35-49 tile
+    lookup + attachments.wgsl textureSampleGrad), reproduced pixel for
+    pixel on the rasterized frame.
+
+    Per pixel: interpolate the morphed tile uv, look up the best loaded
+    atlas tile (the same lookup_best/lookup_tile chain the per-vertex
+    shader uses), convert the analytic uv gradients into atlas texel
+    units, pick the fractional mip, and trilinear-sample the slab chain.
+    Returns (H, W, C) f32 in [0, 1], zero outside coverage.
+    """
+    from bevy_terrain_tpu.ops import coords, sampling
+
+    G1 = mesh.positions.shape[1]
+    if view_proj is not None:
+        uv, ddx, ddy = pixel_uv_and_grads(
+            raster, mesh, view_proj, width, height
+        )
+    else:
+        uv = interpolate(raster, mesh.uvs)
+        ddx = ddy = None
+
+    f = raster.vert_idx[..., 0] // (G1 * G1)  # (H, W) tile lane
+    F = cfg.tile_capacity
+    side = tiles.tile_side[:F][f]
+    lodt = jnp.maximum(tiles.tile_lod[:F], 0)[f]
+    xy = tiles.tile_xy[:F][f]
+
+    pos_p = interpolate(raster, mesh.positions)
+    view_distance = jnp.linalg.norm(
+        pos_p - uniforms.view_world_position, axis=-1
+    )
+    blend_lod, _ = coords.compute_blend(view_distance, uniforms, cfg)
+    if cfg.tile_tree_lod:
+        atlas_index, a_lod, _, a_uv = coords.lookup_best(
+            uniforms.entries, uniforms.origins, side, lodt, xy, uv, cfg
+        )
+    else:
+        atlas_index, a_lod, _, a_uv = coords.lookup_tile(
+            uniforms.entries, side, lodt, xy, uv, blend_lod, cfg
+        )
+    atlas_index = jnp.where(raster.covered, atlas_index, -1)
+
+    uv_in = sampling.attachment_uv(a_uv, scale, offset)
+    if ddx is None:
+        return sampling.sample_bilinear(slabs[0], atlas_index, uv_in, max_value)
+    # tile-uv -> atlas-texel gradient scale: the atlas tile at a_lod
+    # spans 2^(lodt - a_lod) geometry tiles, then border inset + texels
+    g = jnp.exp2((a_lod - lodt).astype(jnp.float32))[..., None]
+    texel_dx = ddx * g * scale * texture_size
+    texel_dy = ddy * g * scale * texture_size
+    mip = sampling.mip_level_from_grad(texel_dx, texel_dy, 1)
+    return sampling.sample_trilinear(slabs, atlas_index, uv_in, mip, max_value)
 
 
 def interpolate(raster: RasterOutput, vertex_values, background=0.0):

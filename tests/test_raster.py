@@ -274,6 +274,213 @@ class TestSkirts:
         assert ys.min() >= 0.0 - 1e-5 and ys.max() <= 0.35 + 1e-5
 
 
+class TestPixelTexturing:
+    def test_analytic_uv_gradients_match_finite_differences(self):
+        from bevy_terrain_tpu.render.raster import pixel_uv_and_grads
+
+        # bumpy tile at an oblique view: analytic duv/dx vs numerical
+        rng = np.random.default_rng(5)
+        G1 = 5
+        pos = _flat_tile(G1=G1, size=20.0)
+        pos[..., 1] += rng.uniform(0, 4.0, pos[..., 1].shape).astype(np.float32)
+        uv = np.zeros((1, G1, G1, 2), np.float32)
+        g = np.linspace(0.0, 1.0, G1, dtype=np.float32)
+        uv[0, :, :, 0] = g[None, :]
+        uv[0, :, :, 1] = g[:, None]
+
+        class MiniMesh:
+            positions = jnp.asarray(pos)
+            uvs = jnp.asarray(uv)
+            tile_mask = jnp.array([True])
+
+        vp = view_projection(
+            eye=[6.0, 14.0, -18.0], target=[0.0, 0.0, 0.0],
+            fov_y=np.radians(55.0), aspect=1.0, near=0.1,
+        )
+        W = H = 96
+        out = rasterize_grid(
+            MiniMesh.positions, MiniMesh.tile_mask,
+            jnp.asarray(vp, jnp.float32), W, H, bin_px=16, bin_cap=64,
+        )
+        uvp, ddx, ddy = pixel_uv_and_grads(
+            out, MiniMesh, jnp.asarray(vp, jnp.float32), W, H
+        )
+        uvp, ddx, ddy = map(np.asarray, (uvp, ddx, ddy))
+        tri = np.asarray(out.tri_id)
+        cov = np.asarray(out.covered)
+        # compare where the pixel and its +x neighbour share a triangle
+        same = cov[:, :-1] & cov[:, 1:] & (tri[:, :-1] == tri[:, 1:])
+        fd = uvp[:, 1:] - uvp[:, :-1]
+        an = 0.5 * (ddx[:, 1:] + ddx[:, :-1])
+        err = np.abs(fd - an)[same]
+        scale = np.abs(fd[same]).mean()
+        assert np.median(err) < 0.02 * scale + 1e-6
+        samev = cov[:-1, :] & cov[1:, :] & (tri[:-1, :] == tri[1:, :])
+        fdy = uvp[1:, :] - uvp[:-1, :]
+        any_ = 0.5 * (ddy[1:, :] + ddy[:-1, :])
+        erry = np.abs(fdy - any_)[samev]
+        assert np.median(erry) < 0.02 * np.abs(fdy[samev]).mean() + 1e-6
+
+    @pytest.fixture(scope="class")
+    def albedo_terrain(self, tmp_path_factory):
+        import time
+
+        from PIL import Image
+
+        from bevy_terrain_tpu import (
+            PreprocessDataset,
+            Preprocessor,
+            StandardMaterial,
+            Terrain,
+            TerrainConfig,
+            TerrainModel,
+            TerrainViewConfig,
+            albedo_material,
+        )
+        from bevy_terrain_tpu.formats.tiff import array_to_source
+        from bevy_terrain_tpu.models import (
+            albedo_attachment,
+            height_attachment,
+        )
+        from bevy_terrain_tpu.terrain_data import TileAtlas
+
+        root = tmp_path_factory.mktemp("assets")
+        n = 512
+        g = (np.arange(n) + 0.5) / n
+        uu, vv = np.meshgrid(g, g, indexing="xy")
+        height = 0.3 + 0.2 * np.sin(6.28 * uu) * np.cos(6.28 * vv)
+        # analytic colormap: R = u, G = v, B = 0.25
+        rgba = np.stack(
+            [uu, vv, np.full_like(uu, 0.25), np.ones_like(uu)], -1
+        )
+        src = root / "source"
+        src.mkdir(parents=True, exist_ok=True)
+        array_to_source(height, src / "h.png")
+        Image.fromarray((rgba * 255).astype(np.uint8), "RGBA").save(
+            src / "a.png"
+        )
+        config = TerrainConfig(
+            lod_count=2,
+            model=TerrainModel.planar(np.zeros(3), 1000.0, 0.0, 120.0),
+            atlas_size=32, path="terrains/rast_alb",
+            attachments=(height_attachment(), albedo_attachment()),
+            assets_root=str(root),
+        )
+        atlas = TileAtlas(config)
+        pre = Preprocessor(atlas).clear_attachment(0)
+        pre.preprocess_tile(PreprocessDataset(
+            attachment_index=0, path=str(src / "h.png"),
+            lod_range=range(0, 2),
+        ))
+        pre.preprocess_tile(PreprocessDataset(
+            attachment_index=1, path=str(src / "a.png"),
+            lod_range=range(0, 2),
+        ))
+        pre.run()
+        t = Terrain(config)
+        t.add_view(
+            "cam",
+            TerrainViewConfig(tile_capacity=1024, morph_distance=4.0),
+            queue_capacity=2048,
+        )
+        t.set_shading(
+            material=StandardMaterial(base_color=albedo_material(1)),
+            lighting=True, sample_attachments=(1,),
+        )
+        view = np.array([0.0, 320.0, 1.0])
+        out = None
+        for _ in range(40):
+            out = t.update({"cam": view})["cam"]
+            if not t.atlas.state.to_load and not any(
+                a.loading for a in t.atlas.attachments
+            ):
+                break
+            time.sleep(0.01)
+        out = t.update({"cam": view})["cam"]
+        assert out.overflow == 0
+        return t, view, out
+
+    def test_per_pixel_albedo_matches_colormap(self, albedo_terrain):
+        t, view, out = albedo_terrain
+        vp = view_projection(
+            eye=view, target=[0.0, 0.0, 0.0], fov_y=np.radians(60.0),
+            aspect=1.0, near=0.5,
+        )
+        img, raster = t.render_image(
+            "cam", out, jnp.asarray(vp, jnp.float32), 160, 160,
+            lighting=False, bin_px=16, bin_cap=256,
+        )
+        cov = np.asarray(raster.covered)
+        assert cov.mean() > 0.9
+        img = np.asarray(img)
+        # reconstruct world xz per pixel -> expected colormap u, v
+        from bevy_terrain_tpu.render.raster import interpolate
+
+        pos = np.asarray(interpolate(raster, out.mesh.positions))
+        u_exp = pos[..., 0] / 1000.0 + 0.5
+        v_exp = pos[..., 2] / 1000.0 + 0.5
+        err_u = np.abs(img[..., 0] - u_exp)[cov]
+        err_v = np.abs(img[..., 1] - v_exp)[cov]
+        assert np.median(err_u) < 0.02
+        assert np.median(err_v) < 0.02
+        assert np.abs(img[..., 2] - 0.25)[cov].max() < 0.04
+
+    def test_pixel_vs_vertex_albedo_agree(self, albedo_terrain):
+        t, view, out = albedo_terrain
+        vp = jnp.asarray(
+            view_projection(
+                eye=view, target=[0.0, 0.0, 0.0], fov_y=np.radians(60.0),
+                aspect=1.0, near=0.5,
+            ),
+            jnp.float32,
+        )
+        img_px, r1 = t.render_image(
+            "cam", out, vp, 128, 128, lighting=False,
+            bin_px=16, bin_cap=256,
+        )
+        img_vx, _ = t.render_image(
+            "cam", out, vp, 128, 128, lighting=False, pixel_texturing=False,
+            bin_px=16, bin_cap=256,
+        )
+        cov = np.asarray(r1.covered)
+        d = np.abs(np.asarray(img_px) - np.asarray(img_vx))[cov]
+        # per-pixel filtering vs vertex bilinear: same image up to
+        # sub-vertex detail
+        assert np.median(d) < 0.02
+
+    def test_grazing_pixels_pick_coarser_mips(self, albedo_terrain):
+        from bevy_terrain_tpu.ops.sampling import mip_level_from_grad
+        from bevy_terrain_tpu.render.raster import pixel_uv_and_grads
+
+        t, view, out = albedo_terrain
+        # low camera looking toward the horizon: far rows must select
+        # coarser mips than near rows (screen-derivative mip selection)
+        eye = np.array([0.0, 40.0, 0.0])
+        out2 = t.update({"cam": eye})["cam"]
+        uniforms, cfg = t.frame_inputs("cam")
+        vp = jnp.asarray(
+            view_projection(
+                eye=eye, target=[0.0, 20.0, 300.0],
+                fov_y=np.radians(60.0), aspect=1.0, near=0.5,
+            ),
+            jnp.float32,
+        )
+        from bevy_terrain_tpu.render.raster import rasterize_grid
+
+        raster = rasterize_grid(
+            out2.mesh.positions, out2.mesh.tile_mask, vp, 128, 128,
+            bin_px=16, bin_cap=512,
+        )
+        uvp, ddx, ddy = pixel_uv_and_grads(raster, out2.mesh, vp, 128, 128)
+        mip = np.asarray(mip_level_from_grad(ddx, ddy, 512))
+        cov = np.asarray(raster.covered)
+        rows = [r for r in range(0, 128, 8) if cov[r].mean() > 0.5]
+        assert len(rows) > 4
+        prof = [np.median(mip[r][cov[r]]) for r in rows]
+        # screen rows toward the horizon (smaller r) see coarser mips
+        assert prof[0] > prof[-1] + 1.0
+
+
 class TestOracleParity:
     def test_matches_numpy_scanline_oracle(self):
         rng = np.random.default_rng(11)
