@@ -256,8 +256,26 @@ def rasterize_grid(
         NKEYS,
     )
     tri_id = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None], (T, 4))
-    s_key, s_tri = jax.lax.sort(
-        (key.reshape(-1), tri_id.reshape(-1)), num_keys=1, is_stable=True
+    # depth-prioritized binning: within a bin, order candidates near to
+    # far (reverse-Z: larger z = nearer), so when a bin exceeds its cap
+    # the DROPPED triangles are the farthest — overwhelmingly occluded
+    # anyway (hardware early-Z's effect on overflow, made deterministic).
+    zmax_tri = jnp.max(vz, axis=-1)  # (T,) nearest corner depth
+    # exact near-to-far order at ANY depth scale: positive IEEE floats
+    # order like their bit patterns, so the negated bitcast is an
+    # ascending near-first integer key (a 2^20 quantizer loses all
+    # resolution on far scenes — reverse-Z packs a whole planet disc
+    # into ~1e-9 of z)
+    znear_key = jnp.broadcast_to(
+        -jax.lax.bitcast_convert_type(
+            jnp.maximum(zmax_tri, 0.0), jnp.int32
+        )[:, None],
+        (T, 4),
+    )
+    s_key, _, s_tri = jax.lax.sort(
+        (key.reshape(-1), znear_key.reshape(-1), tri_id.reshape(-1)),
+        num_keys=2,
+        is_stable=True,
     )
     # rank within (level, bin): i - first index where this key starts
     first = jnp.searchsorted(s_key, s_key, side="left")

@@ -481,6 +481,90 @@ class TestPixelTexturing:
         assert prof[0] > prof[-1] + 1.0
 
 
+class TestSphericalRaster:
+    def test_planet_disc_renders_hole_free(self, tmp_path):
+        import time
+
+        import bevy_terrain_tpu as bt
+        from bevy_terrain_tpu.formats.tiff import array_to_source
+        from bevy_terrain_tpu.math.coordinate import (
+            local_position_from_side_uv,
+        )
+        from bevy_terrain_tpu.models import height_attachment
+        from bevy_terrain_tpu.terrain_data import TileAtlas
+
+        R, MAXH = 6_371_000.0, 9_000.0
+
+        def planet(p):
+            return np.clip(
+                0.5 + 0.3 * np.sin(3 * p[..., 0]) * np.cos(2 * p[..., 2]),
+                0.05, 1.0,
+            )
+
+        n = 128
+        g = (np.arange(n) + 0.5) / n
+        uu, vv = np.meshgrid(g, g, indexing="xy")
+        guv = np.stack([uu, vv], -1)
+        paths = []
+        for side in range(6):
+            p = local_position_from_side_uv(side, guv)
+            f = tmp_path / f"f{side}.png"
+            array_to_source(planet(p), f)
+            paths.append(str(f))
+        config = bt.TerrainConfig(
+            lod_count=6,
+            model=bt.TerrainModel.sphere(np.zeros(3), R, 0.0, MAXH),
+            atlas_size=128, path="earth_raster",
+            assets_root=str(tmp_path / "assets"),
+            attachments=(height_attachment(texture_size=128, mips=4),),
+        )
+        atlas = TileAtlas(config)
+        bt.Preprocessor(atlas).clear_attachment(0).preprocess_spherical(
+            bt.SphericalDataset(
+                attachment_index=0, paths=paths, lod_range=range(0, 2)
+            )
+        ).run(verbose=False)
+        t = bt.Terrain(config)
+        # density matched to the capture resolution (morph_distance 4)
+        t.add_view(
+            "cam",
+            bt.TerrainViewConfig(tile_capacity=1024, morph_distance=4.0),
+            queue_capacity=2048, culling=True,
+        )
+        view = np.array([0.0, 0.0, R + 600e3])
+        vp = view_projection(
+            view, view * 0.5, np.radians(60.0), 1.0, near=1e3
+        )
+        out = None
+        for i in range(100):
+            out = t.update({"cam": view}, {"cam": vp})
+            if i > 3 and not t.atlas.state.to_load and not any(
+                a.loading for a in t.atlas.attachments
+            ):
+                break
+            time.sleep(0.01)
+        out = t.update({"cam": view}, {"cam": vp})["cam"]
+        assert out.overflow == 0
+
+        img, raster = t.render_image(
+            "cam", out, jnp.asarray(vp, jnp.float32), 192, 192,
+            bin_px=16, bin_cap=512, background=(0, 0, 0, 0),
+        )
+        cov = np.asarray(raster.covered)
+        assert int(raster.bin_overflow) == 0
+        # the planet disc nearly fills a 60-degree view from 600 km
+        assert cov.mean() > 0.5
+        # no holes inside the disc (spherical skirts point to the center)
+        above = np.zeros_like(cov)
+        above[1:] = np.maximum.accumulate(cov, 0)[:-1]
+        below = np.zeros_like(cov)
+        below[:-1] = np.maximum.accumulate(cov[::-1], 0)[::-1][1:]
+        assert int((~cov & above & below).sum()) == 0
+        img = np.asarray(img)
+        assert np.isfinite(img).all()
+        assert img[cov].max() <= 1.0 + 1e-5
+
+
 class TestOracleParity:
     def test_matches_numpy_scanline_oracle(self):
         rng = np.random.default_rng(11)
