@@ -134,6 +134,27 @@ def raster_coverage_rule(e, is_top_left):
     return (e > 0) | ((e == 0) & is_top_left)
 
 
+def edge_coef(x0, y0, x1, y1):
+    """Watertight edge coefficients: evaluate every edge in a CANONICAL
+    endpoint order (lexicographic by screen coordinate) and fold the
+    orientation back as a +-1 factor. Two triangles sharing an edge then
+    compute bitwise-identical (a, b, c) before their opposite signs — E
+    values are exact f32 negations, so with the fill rule every boundary
+    pixel lands in exactly one triangle: no cracks, no double-draw (the
+    GPU rasterizer's watertightness guarantee, which naive per-triangle
+    edge math loses)."""
+    swap = (x0 > x1) | ((x0 == x1) & (y0 > y1))
+    xl = jnp.where(swap, x1, x0)
+    yl = jnp.where(swap, y1, y0)
+    xh = jnp.where(swap, x0, x1)
+    yh = jnp.where(swap, y0, y1)
+    a = -(yh - yl)
+    b = xh - xl
+    c = (yh - yl) * xl - (xh - xl) * yl
+    sgn = jnp.where(swap, -1.0, 1.0)
+    return a * sgn, b * sgn, c * sgn
+
+
 def _level_caps(bin_cap: int, levels: int):
     """Per-level candidate capacities: level 0 gets ``bin_cap``; coarser
     levels halve (floor 16) — big triangles are few (depth complexity),
@@ -272,32 +293,79 @@ def rasterize_grid(
         )[:, None],
         (T, 4),
     )
-    s_key, _, s_tri = jax.lax.sort(
-        (key.reshape(-1), znear_key.reshape(-1), tri_id.reshape(-1)),
-        num_keys=2,
-        is_stable=True,
-    )
-    # rank within (level, bin): i - first index where this key starts
-    first = jnp.searchsorted(s_key, s_key, side="left")
-    rank = jnp.arange(s_key.shape[0], dtype=jnp.int32) - first.astype(jnp.int32)
+    # Pack [bin key | depth priority | tri id] into TWO uint32 sort keys
+    # (int64 is emulated on TPU, and x64 is off by default) instead of a
+    # 3-operand 2-key stable sort: the low tri-id bits make the total
+    # order strict, so the result is deterministic without a stability
+    # flag, and the comparator moves 8 bytes/element instead of 12.
+    # Depth keeps its top (64 - kbits - tbits) bitcast bits: truncation
+    # can only reorder the DROP priority among triangles whose nearest
+    # corners agree to that relative-depth resolution (ties resolve by
+    # tri id); kept-candidate correctness is unaffected — the raster
+    # scan depth-tests every candidate anyway.
+    kbits = max(int(np.ceil(np.log2(NKEYS + 1))), 1)
+    tbits = max(int(np.ceil(np.log2(max(T, 2)))), 1)
+    if kbits > 24 or tbits > 31:  # absurd sizes: exact 3-operand sort
+        s_key, _, s_tri = jax.lax.sort(
+            (key.reshape(-1), znear_key.reshape(-1), tri_id.reshape(-1)),
+            num_keys=2,
+            is_stable=True,
+        )
+    else:
+        dhi = 32 - kbits  # depth bits carried in the high word
+        dlo = max(32 - tbits, 0)  # further depth bits in the low word
+        dprio = jax.lax.bitcast_convert_type(
+            znear_key.reshape(-1), jnp.uint32
+        ) ^ jnp.uint32(0x80000000)  # signed -> order-preserving unsigned
+        high = (key.reshape(-1).astype(jnp.uint32) << dhi) | (
+            dprio >> kbits
+        )
+        d_rest = dprio & jnp.uint32((1 << kbits) - 1)
+        d_rest = d_rest >> max(kbits - dlo, 0)
+        low = (d_rest << tbits) | tri_id.reshape(-1).astype(jnp.uint32)
+        s_high, s_low = jax.lax.sort((high, low), num_keys=2)
+        s_key = (s_high >> dhi).astype(jnp.int32)
+        s_tri = (s_low & jnp.uint32((1 << tbits) - 1)).astype(jnp.int32)
 
-    # dense per-level tables, gathered back onto the level-0 grid and
-    # concatenated into ONE (NB, sum(caps)) candidate table
+    # rank within (level, bin): i - first index of this key's segment.
+    # A cummax over segment starts is O(n) elementwise work; searchsorted
+    # here would binary-search the whole 4T array per element (log n
+    # dependent gathers each — measured seconds at multi-million T).
+    idx = jnp.arange(s_key.shape[0], dtype=jnp.int32)
+    seg_start = jnp.concatenate(
+        [jnp.ones((1,), bool), s_key[1:] != s_key[:-1]]
+    )
+    first = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(seg_start, idx, 0)
+    )
+    rank = idx - first
+
+    # dense per-level tables built with ONE global scatter (not one per
+    # level), then gathered back onto the level-0 grid and concatenated
+    # into ONE (NB, sum(caps)) candidate table
     b0 = jnp.arange(NB, dtype=jnp.int32)
     b0x, b0y = b0 % nbx, b0 // nbx
+    table_base = np.concatenate(
+        [[0], np.cumsum([nb_l[L] * caps[L] for L in range(levels)])]
+    ).astype(np.int64)
+    TOTAL_TAB = int(table_base[-1])
+    lvl_e = jnp.zeros_like(s_key)
+    for L in range(1, levels):
+        lvl_e = lvl_e + (s_key >= int(key_off[L])).astype(jnp.int32)
+    cap_e = jnp.asarray(caps, jnp.int32)[lvl_e]
+    base_e = jnp.asarray(table_base[:-1], jnp.int32)[lvl_e]
+    off_e = jnp.asarray(key_off[:levels], jnp.int32)[lvl_e]
+    real = s_key < NKEYS
+    keep = real & (rank < cap_e)
+    bin_overflow = jnp.sum((real & (rank >= cap_e)).astype(jnp.int32))
+    gslot = jnp.where(keep, base_e + (s_key - off_e) * cap_e + rank, TOTAL_TAB)
+    flat_tab = jnp.full((TOTAL_TAB + 1,), -1, jnp.int32)
+    flat_tab = flat_tab.at[gslot].set(s_tri, mode="drop")
     tables = []
-    bin_overflow = jnp.int32(0)
     for L in range(levels):
-        in_level = (s_key >= int(key_off[L])) & (s_key < int(key_off[L + 1]))
-        keep = in_level & (rank < caps[L])
-        bin_overflow = bin_overflow + jnp.sum(
-            (in_level & (rank >= caps[L])).astype(jnp.int32)
+        tab = flat_tab[int(table_base[L]) : int(table_base[L + 1])].reshape(
+            nb_l[L], caps[L]
         )
-        local = (s_key - int(key_off[L])).astype(jnp.int32)
-        slot = jnp.where(keep, local * caps[L] + rank, nb_l[L] * caps[L])
-        tab = jnp.full((nb_l[L] * caps[L] + 1,), -1, jnp.int32)
-        tab = tab.at[slot].set(s_tri, mode="drop")
-        tab = tab[: nb_l[L] * caps[L]].reshape(nb_l[L], caps[L])
         up = (b0y >> L) * nbx_l[L] + (b0x >> L)  # level-0 bin -> its L bin
         tables.append(tab[up])
     table = jnp.concatenate(tables, axis=1)  # (NB, sum(caps))
@@ -319,26 +387,6 @@ def rasterize_grid(
         ],
         axis=-1,
     )
-
-    def edge_coef(x0, y0, x1, y1):
-        """Watertight edge coefficients: evaluate every edge in a
-        CANONICAL endpoint order (lexicographic by screen coordinate) and
-        fold the orientation back as a +-1 factor. Two triangles sharing
-        an edge then compute bitwise-identical (a, b, c) before their
-        opposite signs — E values are exact f32 negations, so with the
-        fill rule every boundary pixel lands in exactly one triangle: no
-        cracks, no double-draw (the GPU rasterizer's watertightness
-        guarantee, which naive per-triangle edge math loses)."""
-        swap = (x0 > x1) | ((x0 == x1) & (y0 > y1))
-        xl = jnp.where(swap, x1, x0)
-        yl = jnp.where(swap, y1, y0)
-        xh = jnp.where(swap, x0, x1)
-        yh = jnp.where(swap, y0, y1)
-        a = -(yh - yl)
-        b = xh - xl
-        c = (yh - yl) * xl - (xh - xl) * yl
-        sgn = jnp.where(swap, -1.0, 1.0)
-        return a * sgn, b * sgn, c * sgn
 
     def step(carry, c_idx):
         best_z, best_t = carry
